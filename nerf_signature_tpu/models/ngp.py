@@ -1,0 +1,120 @@
+"""Clean instant-NGP field network.
+
+TPU-native equivalent of ``nerf/network_hash.py:13-166``:
+  * positions in [-bound, bound] -> [0, 1] -> 16-level hash encoding (32 feats)
+  * sigma MLP 32 -> 64 -> (1 + 15); sigma = trunc_exp(h[..., 0])
+  * dirs -> SH degree-4 (16 feats) concat geo_feat (15) -> color MLP
+    31 -> 64 -> 64 -> 3 -> sigmoid
+
+All pure functions over a params pytree; density/color split mirrors the
+reference's ``density()`` / masked ``color()`` API for the occupancy-grid
+update and the fixed-step render path.
+"""
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activation import trunc_exp
+from ..ops.hashenc import hash_encode, init_hash_table, level_resolutions
+from ..ops.sh import sh_encode
+from .mlp import init_mlp, mlp_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class NGPConfig:
+    bound: float = 1.0
+    n_levels: int = 16
+    n_features: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    finest_resolution: int = 2048
+    hidden_dim: int = 64
+    num_layers: int = 2           # sigma net: num_layers-1 hidden layers
+    geo_feat_dim: int = 15
+    hidden_dim_color: int = 64
+    num_layers_color: int = 3
+    sh_degree: int = 4
+    density_scale: float = 1.0
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def resolutions(self):
+        return tuple(
+            level_resolutions(
+                self.n_levels, self.base_resolution, self.finest_resolution
+            ).tolist()
+        )
+
+    @property
+    def enc_dim(self):
+        return self.n_levels * self.n_features
+
+    @property
+    def sh_dim(self):
+        return self.sh_degree**2
+
+
+def init_ngp_params(key, cfg: NGPConfig) -> Dict[str, Any]:
+    k_hash, k_sigma, k_color = jax.random.split(key, 3)
+    sigma_dims = (
+        [cfg.enc_dim]
+        + [cfg.hidden_dim] * (cfg.num_layers - 1)
+        + [1 + cfg.geo_feat_dim]
+    )
+    color_dims = (
+        [cfg.sh_dim + cfg.geo_feat_dim]
+        + [cfg.hidden_dim_color] * (cfg.num_layers_color - 1)
+        + [3]
+    )
+    return {
+        "hash_table": init_hash_table(
+            k_hash, cfg.n_levels, cfg.n_features, cfg.log2_hashmap_size
+        ),
+        "sigma_net": init_mlp(k_sigma, sigma_dims),
+        "color_net": init_mlp(k_color, color_dims),
+    }
+
+
+def _encode_pos(params, cfg: NGPConfig, x):
+    """x in [-bound, bound] -> hash features [N, enc_dim]."""
+    x01 = (x + cfg.bound) / (2.0 * cfg.bound)
+    return hash_encode(
+        x01, params["hash_table"], cfg.resolutions, cfg.log2_hashmap_size
+    )
+
+
+def _sigma_head(params, cfg: NGPConfig, feat):
+    h = mlp_apply(params["sigma_net"], feat, compute_dtype=cfg.compute_dtype)
+    sigma = trunc_exp(h[..., 0])
+    geo_feat = h[..., 1:]
+    return sigma, geo_feat
+
+
+def ngp_density(params, cfg: NGPConfig, x):
+    """x: [N, 3] in [-bound, bound] -> dict(sigma [N], geo_feat [N, 15]).
+    Ref ``nerf/network_hash.py:104-118``."""
+    sigma, geo_feat = _sigma_head(params, cfg, _encode_pos(params, cfg, x))
+    return {"sigma": sigma, "geo_feat": geo_feat}
+
+
+def ngp_color(params, cfg: NGPConfig, d, geo_feat):
+    """dirs [N, 3] (unit) + geo_feat [N, 15] -> rgb [N, 3] in [0, 1].
+    Ref ``nerf/network_hash.py:121-151`` (masked variant is handled by the
+    caller masking outputs — cheaper than gather/scatter on TPU)."""
+    sh = sh_encode(d, cfg.sh_degree)
+    h = mlp_apply(
+        params["color_net"],
+        jnp.concatenate([sh, geo_feat], axis=-1),
+        compute_dtype=cfg.compute_dtype,
+    )
+    return jax.nn.sigmoid(h)
+
+
+def ngp_field(params, cfg: NGPConfig, x, d):
+    """Fused forward: (sigma [N], rgb [N, 3]).  Ref ``network_hash.py:77-102``."""
+    sigma, geo_feat = _sigma_head(params, cfg, _encode_pos(params, cfg, x))
+    rgb = ngp_color(params, cfg, d, geo_feat)
+    return sigma, rgb
