@@ -1,0 +1,66 @@
+"""Clean-stage CLI: train / test an instant-NGP NeRF on TPU.
+
+Drop-in analog of the reference's ``main_nerf.py`` with the same flag
+surface (see ``nerf_signature_tpu/utils/config.py``)."""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    from nerf_signature_tpu.utils.config import add_common_args, apply_O_macro
+
+    add_common_args(parser)
+    opt = apply_O_macro(parser.parse_args())
+    print(opt)
+
+    import jax
+
+    if opt.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from nerf_signature_tpu.api import NGPModel
+    from nerf_signature_tpu.data.provider import NeRFDataset
+    from nerf_signature_tpu.models.ngp import NGPConfig
+    from nerf_signature_tpu.train.metrics import PSNRMeter, LPIPSMeter
+    from nerf_signature_tpu.train.trainer import Trainer
+
+    cfg = NGPConfig(
+        bound=opt.bound,
+        compute_dtype=jax.numpy.bfloat16 if opt.fp16 else jax.numpy.float32,
+    )
+    model = NGPModel(
+        cfg, cuda_ray=opt.cuda_ray, min_near=opt.min_near,
+        density_thresh=opt.density_thresh, bg_radius=opt.bg_radius,
+        dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+        grid_size=opt.grid_size, seed=opt.seed,
+        train_budget=opt.train_budget, infer_budget=opt.infer_budget,
+        num_steps=opt.num_steps, upsample_steps=opt.upsample_steps,
+    )
+
+    metrics = [PSNRMeter(), LPIPSMeter()]
+
+    if opt.test:
+        trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
+                          metrics=metrics, use_checkpoint=opt.ckpt)
+        test_loader = NeRFDataset(opt, type="test").dataloader()
+        if test_loader.has_gt:
+            trainer.evaluate_one_epoch(test_loader)
+        trainer.test(test_loader, write_video=True)
+        from nerf_signature_tpu.meshing import save_mesh
+        save_mesh(model, f"{opt.workspace}/mesh.ply",
+                  resolution=opt.mesh_resolution, threshold=10)
+    else:
+        train_loader = NeRFDataset(opt, type="train").dataloader()
+        valid_loader = NeRFDataset(opt, type="val", downscale=1).dataloader()
+        trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
+                          ema_decay=0.95, metrics=metrics,
+                          use_checkpoint=opt.ckpt, eval_interval=50)
+        max_epoch = int(np.ceil(opt.iters / len(train_loader)))
+        trainer.train(train_loader, valid_loader, max_epoch)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Watermark-stage CLI: embed a codebook message into a frozen clean NGP and
+train the HiDDeN bit extractor; evaluate bit accuracy + image quality.
+
+Drop-in analog of the reference's ``main_nerf_wtmk.py`` (same flags)."""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    from nerf_signature_tpu.utils.config import (
+        add_common_args, add_wtmk_args, apply_O_macro,
+    )
+
+    add_common_args(parser)
+    add_wtmk_args(parser)
+    opt = apply_O_macro(parser.parse_args())
+    print(opt)
+
+    import jax
+
+    if opt.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from nerf_signature_tpu.api import WatermarkModel
+    from nerf_signature_tpu.data.provider_wtmk import NeRFDatasetDisen
+    from nerf_signature_tpu.models.ngp import NGPConfig
+    from nerf_signature_tpu.models.watermark import WatermarkConfig
+    from nerf_signature_tpu.train.metrics import (
+        BitAccMeter, LPIPSMeter, PSNRMeter, SSIMMeter,
+    )
+    from nerf_signature_tpu.train.trainer_wtmk import WatermarkTrainer
+
+    wcfg = WatermarkConfig(
+        ngp=NGPConfig(
+            bound=opt.bound,
+            compute_dtype=jax.numpy.bfloat16 if opt.fp16 else jax.numpy.float32,
+        ),
+        message_dim=opt.message_dim,
+        n_views=opt.n_views,
+    )
+    model = WatermarkModel(
+        wcfg, cuda_ray=opt.cuda_ray, min_near=opt.min_near,
+        density_thresh=opt.density_thresh, bg_radius=opt.bg_radius,
+        dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+        grid_size=opt.grid_size, seed=opt.seed,
+        train_budget=opt.train_budget, infer_budget=opt.infer_budget,
+    )
+
+    trainer = WatermarkTrainer(
+        "ngp", opt, model, workspace=opt.workspace,
+        metrics=[PSNRMeter(), LPIPSMeter(), SSIMMeter()],
+        metrics_message=[BitAccMeter()],
+        eval_interval=opt.eval_interval, save_interval=opt.save_interval,
+        use_checkpoint=opt.ckpt,
+    )
+
+    keyposes = os.path.join(opt.workspace, "key_poses.npy")
+    keyblocks = os.path.join(opt.workspace, "key_blocks.npy")
+
+    def make_loader(type, n_views, n_test, fresh_keys=False):
+        return NeRFDatasetDisen(
+            opt,
+            keyposes_dir=None if fresh_keys else keyposes,
+            keyposes_save_dir=keyposes if fresh_keys else None,
+            keyblocks_dir=None if fresh_keys else keyblocks,
+            keyblocks_save_dir=keyblocks if fresh_keys else None,
+            pretrained_model=model, downscale=opt.downscale, type=type,
+            n_views=n_views, n_test=n_test, message_dim=opt.message_dim,
+            num_rows=opt.num_rows, num_cols=opt.num_cols,
+            use_existset=opt.use_existset,
+        ).dataloader()
+
+    if opt.test:
+        trainer.test_bitacc(make_loader("test", opt.n_views, 200))
+        trainer.test_image(
+            make_loader("test_image", opt.num_images_test, 4),
+            name="test_image_from_randomviews",
+        )
+        trainer.test_image(
+            make_loader("test_image_testviews", opt.num_images_test, 4),
+            name="test_image_from_testviews",
+        )
+    else:
+        fresh = not os.path.exists(keyposes)
+        train_loader = make_loader("train", opt.n_views, 100, fresh_keys=fresh)
+        test_bitacc_loader = make_loader("test", opt.n_views, 200)
+        test_image_loader = make_loader("test_image", opt.num_images_test, 4)
+        max_epoch = int(np.ceil(opt.iters / len(train_loader)))
+        trainer.train(train_loader, test_image_loader, test_bitacc_loader,
+                      max_epoch)
+        trainer.test_image(
+            make_loader("test_image_testviews", opt.num_images_test, 4),
+            name="test_image_from_testviews",
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,316 @@
+"""Watermark-stage dataset provider (self-distillation + secret keys).
+
+Equivalent of ``nerf/provider_wtmk.py:317-626`` (``NeRFDataset_Disen``):
+  * loads poses/intrinsics like the clean provider but NEVER loads photos —
+    all ground truth is RENDERED by the frozen pretrained model
+    (pseudo-GT / self-distillation, ref ``provider_wtmk.py:408-421``),
+  * **key pose**: one random orbit pose (or the first train pose when
+    ``use_existset``), persisted as ``key_poses.npy``
+    (ref ``provider_wtmk.py:441-453``),
+  * **key blocks**: the key-pose render is split into num_rows x num_cols
+    blocks, each scored by JPEG compression ratio (PIL encode, q=75,
+    original/compressed size); the ``message_dim`` LEAST-compressible
+    (most textured) blocks become the secret blocks, persisted as
+    ``key_blocks.npy`` (ref ``provider_wtmk.py:146-218,469-477``),
+  * per-bit ray bundles ``rays_{o,d}_block [message_dim, bh, bw, 3]``,
+  * modes: train / test (bit-acc) / test_image (random slerp poses) /
+    test_image_testviews (test split poses).
+"""
+
+import io
+import json
+import os
+
+import numpy as np
+
+from .provider import _slerp_poses
+from .rays import get_rays, nerf_matrix_to_ngp, rand_poses
+
+
+def calculate_compression_ratio(blocks):
+    """blocks: [n, bh, bw, 3] float in [0,1].  JPEG(q=75) original/compressed
+    size ratio per block; ref ``provider_wtmk.py:146-170``."""
+    from PIL import Image
+
+    ratios = []
+    for b in blocks:
+        img = Image.fromarray((np.clip(b, 0, 1) * 255).astype(np.uint8))
+        buf0, buf1 = io.BytesIO(), io.BytesIO()
+        img.save(buf0, format="JPEG")
+        img.save(buf1, format="JPEG", optimize=True, quality=75)
+        ratios.append(buf0.tell() / max(buf1.tell(), 1))
+    return np.array(ratios)
+
+
+def select_key_blocks(image, num_rows, num_cols, num_selections):
+    """image [H, W, 3] -> block coordinates [k, 4] (x0, y0, x1, y1) of the k
+    lowest-compression-ratio blocks; ref ``process_image``
+    (``provider_wtmk.py:212-218``)."""
+    H, W = image.shape[:2]
+    bh, bw = H // num_rows, W // num_cols
+    blocks = (
+        image[: bh * num_rows, : bw * num_cols]
+        .reshape(num_rows, bh, num_cols, bw, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, bh, bw, 3)
+    )
+    ratios = calculate_compression_ratio(blocks)
+    sel = np.argsort(ratios)[:num_selections]
+    rows, cols = sel // num_cols, sel % num_cols
+    coords = np.stack(
+        [rows * bh, cols * bw, (rows + 1) * bh, (cols + 1) * bw], axis=1
+    )
+    return coords.astype(np.int64), bh, bw
+
+
+def _random_slerp_poses(rng, n, frames, scale, offset):
+    """n random poses, each a random-ratio slerp between two random frames;
+    ref ``test_poses`` (``provider_wtmk.py:287-300``)."""
+    out = []
+    for _ in range(n):
+        f0, f1 = rng.choice(frames, 2, replace=False)
+        p0 = nerf_matrix_to_ngp(np.array(f0["transform_matrix"], np.float32),
+                                scale, offset)
+        p1 = nerf_matrix_to_ngp(np.array(f1["transform_matrix"], np.float32),
+                                scale, offset)
+        out.append(_slerp_poses(p0, p1, 1, ratios=[rng.random()])[0])
+    return np.stack(out)
+
+
+class NeRFDatasetDisen:
+    def __init__(self, opt, keyposes_dir, keyposes_save_dir, keyblocks_dir,
+                 keyblocks_save_dir, pretrained_model, downscale=1,
+                 type="train", n_views=1, n_test=48, message_dim=16,
+                 num_rows=16, num_cols=16, use_existset=False, seed=None):
+        self.opt = opt
+        self.type = type
+        self.downscale = downscale
+        self.root_path = opt.path
+        self.scale = opt.scale
+        self.offset = opt.offset
+        self.bound = opt.bound
+        self.training = type == "train"
+        self.num_rays = opt.num_rays if self.training else -1
+        self.model = pretrained_model
+        self.n_test = n_test
+        self.n_views = n_views
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        self.message_dim = message_dim
+        self.patch_size = getattr(opt, "patch_size", 1)
+        self.rng = np.random.default_rng(seed if seed is not None else opt.seed)
+
+        split = "test" if type == "test_image_testviews" else "train"
+        tpath = os.path.join(self.root_path, f"transforms_{split}.json")
+        if not os.path.exists(tpath):
+            tpath = os.path.join(self.root_path, "transforms.json")
+        with open(tpath) as f:
+            transform = json.load(f)
+
+        if "h" in transform and "w" in transform:
+            self.H = int(transform["h"] // downscale)
+            self.W = int(transform["w"] // downscale)
+        else:
+            self.H = self.W = None
+
+        frames = transform["frames"]
+        self.frames = frames
+        poses = []
+        for fr in frames:
+            pose = nerf_matrix_to_ngp(
+                np.array(fr["transform_matrix"], np.float32),
+                self.scale, self.offset,
+            )
+            if self.H is None:
+                import cv2
+                f_path = os.path.join(self.root_path, fr["file_path"])
+                if "." not in os.path.basename(f_path):
+                    f_path += ".png"
+                probe = cv2.imread(f_path, cv2.IMREAD_UNCHANGED)
+                self.H = int(probe.shape[0] // downscale)
+                self.W = int(probe.shape[1] // downscale)
+            poses.append(pose)
+        self.poses = np.stack(poses)
+        self.radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
+
+        # intrinsics
+        if "fl_x" in transform or "fl_y" in transform:
+            fl_x = transform.get("fl_x", transform.get("fl_y")) / downscale
+            fl_y = transform.get("fl_y", transform.get("fl_x")) / downscale
+        else:
+            fl_x = self.W / (2 * np.tan(transform["camera_angle_x"] / 2)) \
+                if "camera_angle_x" in transform else None
+            fl_y = self.H / (2 * np.tan(transform["camera_angle_y"] / 2)) \
+                if "camera_angle_y" in transform else None
+            fl_x = fl_x if fl_x is not None else fl_y
+            fl_y = fl_y if fl_y is not None else fl_x
+        cx = transform.get("cx", self.W / 2) / (downscale if "cx" in transform else 1)
+        cy = transform.get("cy", self.H / 2) / (downscale if "cy" in transform else 1)
+        if "cx" not in transform:
+            cx, cy = self.W / 2, self.H / 2
+        self.intrinsics = np.array([fl_x, fl_y, cx, cy])
+
+        self.error_map = None
+
+        # ---- pseudo-GT for every train pose (self-distillation) ----
+        if type == "train":
+            self.train_images = self._render_poses(self.poses, desc="pseudo-GT")
+        else:
+            self.train_images = None
+
+        # ---- secret key material ----
+        if type in ("train", "test"):
+            if keyposes_dir is None:
+                if use_existset:
+                    wp = self.poses[0:1]
+                else:
+                    wp = rand_poses(self.rng, n_views if type == "train" else 1,
+                                    radius=self.radius)[:1]
+                self.watermark_poses = wp
+                if keyposes_save_dir is not None:
+                    if os.path.exists(keyposes_save_dir):
+                        raise ValueError("Key poses file exists!")
+                    np.save(keyposes_save_dir, wp)
+            else:
+                self.watermark_poses = np.load(keyposes_dir)
+
+            rays = get_rays(self.watermark_poses, self.intrinsics, self.H,
+                            self.W, -1)
+            img = self._render_rays(rays["rays_o"][0], rays["rays_d"][0])
+            self.watermark_images = img.reshape(1, self.H, self.W, 3)
+            self.rays = {
+                "rays_o": rays["rays_o"].reshape(1, self.H, self.W, 3),
+                "rays_d": rays["rays_d"].reshape(1, self.H, self.W, 3),
+            }
+
+            if keyblocks_dir is None:
+                coords, bh, bw = select_key_blocks(
+                    self.watermark_images[0], num_rows, num_cols, message_dim
+                )
+                self.block_coordinates = coords
+                if keyblocks_save_dir is not None:
+                    if os.path.exists(keyblocks_save_dir):
+                        raise ValueError("Key blocks file exists!")
+                    np.save(keyblocks_save_dir, coords)
+            else:
+                self.block_coordinates = np.load(keyblocks_dir)
+                bh = self.H // num_rows
+                bw = self.W // num_cols
+
+            blocks, ro_b, rd_b = [], [], []
+            for i in range(message_dim):
+                x0, y0, x1, y1 = self.block_coordinates[i]
+                blocks.append(self.watermark_images[0, x0:x1, y0:y1])
+                ro_b.append(self.rays["rays_o"][0, x0:x1, y0:y1])
+                rd_b.append(self.rays["rays_d"][0, x0:x1, y0:y1])
+            self.images_block = np.stack(blocks)          # [D, bh, bw, 3]
+            self.rays_o_block = np.stack(ro_b)
+            self.rays_d_block = np.stack(rd_b)
+            self.patch_H, self.patch_W = bh, bw
+        else:
+            # test_image / test_image_testviews: content-view renders
+            if type == "test_image":
+                self.image_poses = _random_slerp_poses(
+                    self.rng, n_views, frames, self.scale, self.offset
+                )
+            elif type == "test_image_testviews":
+                self.image_poses = self.poses
+            else:
+                raise NotImplementedError(f"Wrong type: {type}")
+            self.content_images = self._render_poses(self.image_poses,
+                                                     desc=f"{type} renders")
+            rays = get_rays(self.image_poses, self.intrinsics, self.H, self.W, -1)
+            self.rays = rays
+            self.block_coordinates = None
+            self.images_block = None
+            self.rays_o_block = self.rays_d_block = None
+            self.patch_H = self.patch_W = None
+
+    # ------------------------------------------------------------------
+    def _render_rays(self, rays_o, rays_d):
+        out = self.model.render(
+            rays_o, rays_d, None, staged=True,
+            max_ray_batch=getattr(self.opt, "max_ray_batch", 4096),
+            bg_color=None, perturb=False,
+        )
+        return np.asarray(out["image"], np.float32)
+
+    def _render_poses(self, poses, desc=""):
+        images = []
+        for i in range(len(poses)):
+            rays = get_rays(poses[i:i+1], self.intrinsics, self.H, self.W, -1)
+            img = self._render_rays(rays["rays_o"][0], rays["rays_d"][0])
+            images.append(img.reshape(self.H, self.W, 3))
+        return np.stack(images)
+
+    # ------------------------------------------------------------------
+    def _watermark_dict(self):
+        return {
+            "H": self.H, "W": self.W,
+            "rays_o": self.rays["rays_o"], "rays_d": self.rays["rays_d"],
+            "images": self.watermark_images,
+            "block_coordinates": self.block_coordinates,
+            "patch_H": self.patch_H, "patch_W": self.patch_W,
+            "images_block": self.images_block,
+            "rays_o_block": self.rays_o_block,
+            "rays_d_block": self.rays_d_block,
+        }
+
+    def collate(self, index):
+        """train batch: watermark dict + content dict with freshly sampled
+        rays for pose ``index`` (ref ``provider_wtmk.py:527-572``)."""
+        poses = self.poses[index : index + 1]
+        rays = get_rays(poses, self.intrinsics, self.H, self.W,
+                        self.num_rays, rng=self.rng,
+                        patch_size=self.patch_size)
+        content = {
+            "H": self.H, "W": self.W,
+            "rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
+        }
+        if self.train_images is not None:
+            imgs = self.train_images[index : index + 1].reshape(1, -1, 3)
+            content["images"] = np.take_along_axis(
+                imgs, rays["inds"][..., None], axis=1
+            )
+        return {"watermark": self._watermark_dict(), "content": content}
+
+    def collate_bitacc(self, index):
+        return {"watermark": self._watermark_dict()}
+
+    def collate_image(self, index):
+        i = index
+        return {
+            "H": self.H, "W": self.W,
+            "rays_o": self.rays["rays_o"][i : i + 1],
+            "rays_d": self.rays["rays_d"][i : i + 1],
+            "images": self.content_images[i : i + 1],
+            "block_coordinates": self.block_coordinates,
+            "patch_H": self.patch_H, "patch_W": self.patch_W,
+            "images_block": self.images_block,
+            "rays_o_block": self.rays_o_block,
+            "rays_d_block": self.rays_d_block,
+        }
+
+    def __len__(self):
+        if self.type == "train":
+            return len(self.poses)
+        if self.type == "test":
+            return self.n_test
+        return len(self.image_poses)
+
+    def __iter__(self):
+        if self.type == "train":
+            order = np.arange(len(self))
+            self.rng.shuffle(order)
+            for i in order:
+                yield self.collate(int(i))
+        elif self.type == "test":
+            for i in range(self.n_test):
+                yield self.collate_bitacc(i)
+        else:
+            for i in range(len(self)):
+                yield self.collate_image(i)
+
+    def dataloader(self):
+        self.has_gt = True
+        return self

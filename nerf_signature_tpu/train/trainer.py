@@ -1,0 +1,377 @@
+"""Clean-stage trainer: jitted train step, occupancy maintenance, eval/test.
+
+Equivalent of the reference's ``Trainer`` (``nerf/utils.py:317-1137``):
+  * Adam(0.9, 0.99, eps=1e-15) with lr schedule ``0.1 ** (step / iters)``
+    stepped every iteration (``main_nerf.py:122-130``),
+  * density-grid update every ``update_extra_interval`` (16) steps
+    (``nerf/utils.py:855-857``),
+  * per-ray MSE with pixel-wise random background compositing for RGBA data
+    (``nerf/utils.py:498-517``),
+  * error-map EMA update ``0.1*old + 0.9*err`` (``nerf/utils.py:549-556``),
+  * parameter EMA (decay 0.95) applied at eval time,
+  * checkpoint ring buffer + best checkpoint.
+
+TPU-native differences: the whole optimisation step (render + loss + grads +
+Adam + EMA) is ONE jitted XLA program; AMP GradScaler is unnecessary (bf16
+compute / fp32 params+accum by construction); the ``mean_count`` sample-buffer
+heuristic becomes power-of-two adaptation of the static march budget with
+hysteresis (recompiles at most a handful of times per run).
+"""
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..api import NGPModel
+from ..models.ngp import ngp_field
+from ..render.renderer import render_rays_occ
+from .checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    prune_checkpoints,
+    restore_like,
+    save_checkpoint,
+)
+from .metrics import PSNRMeter
+
+
+def make_lr_schedule(lr, iters):
+    """0.1 ** min(step/iters, 1), ref ``main_nerf.py:127``."""
+    return lambda count: lr * 0.1 ** jnp.minimum(count / iters, 1.0)
+
+
+def make_optimizer(lr, iters):
+    """Adam(betas=(0.9, 0.99), eps=1e-15), ref ``main_nerf.py:122``."""
+    return optax.adam(
+        learning_rate=make_lr_schedule(lr, iters), b1=0.9, b2=0.99, eps=1e-15
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "rc", "budget", "opt_update", "has_alpha",
+                     "ema_decay"),
+    donate_argnums=(0, 1, 2),
+)
+def _train_step(params, ema_params, opt_state, occupancy, rays_o, rays_d,
+                images, key, cfg, rc, budget, opt_update, has_alpha,
+                ema_decay):
+    """One fused optimisation step.  images: [N, 3/4]."""
+    kbg, kperturb = jax.random.split(key)
+    if has_alpha:
+        bg = jax.random.uniform(kbg, (images.shape[0], 3))
+        gt = images[..., :3] * images[..., 3:] + bg * (1.0 - images[..., 3:])
+    else:
+        bg = jnp.ones((1, 3))
+        gt = images
+
+    def loss_fn(p):
+        field = lambda x, d: ngp_field(p, cfg, x, d)
+        out = render_rays_occ(
+            field, occupancy, rays_o, rays_d, rc, budget=budget,
+            bg_color=bg, perturb_key=kperturb,
+        )
+        per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
+        return jnp.mean(per_ray), (per_ray, out["n_occupied"])
+
+    (loss, (per_ray, n_occ)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    updates, opt_state = opt_update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    if ema_decay is not None:
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema_params, params
+        )
+    else:
+        ema_params = params
+    return params, ema_params, opt_state, loss, per_ray, n_occ
+
+
+class Trainer:
+    """Orchestrates epochs/eval/ckpt around the jitted step (host-side)."""
+
+    def __init__(self, name, opt, model: NGPModel, workspace="workspace",
+                 ema_decay=0.95, metrics=None, eval_interval=50,
+                 max_keep_ckpt=2, use_checkpoint="latest", mute=False):
+        self.name = name
+        self.opt = opt
+        self.model = model
+        self.workspace = workspace
+        self.ema_decay = ema_decay
+        self.metrics = metrics if metrics is not None else [PSNRMeter()]
+        self.eval_interval = eval_interval
+        self.max_keep_ckpt = max_keep_ckpt
+        self.mute = mute
+
+        self.optimizer = make_optimizer(opt.lr, opt.iters)
+        self.opt_state = self.optimizer.init(model.params)
+        # distinct buffers: params and ema are both donated to the jitted step
+        self.ema_params = jax.tree_util.tree_map(jnp.copy, model.params)
+
+        self.epoch = 0
+        self.global_step = 0
+        self.stats = {"loss": [], "valid_loss": [], "results": [],
+                      "checkpoints": [], "best_result": None}
+        self.error_map = None
+
+        self._budget_hysteresis = 0
+
+        if workspace is not None:
+            os.makedirs(workspace, exist_ok=True)
+            self.ckpt_path = os.path.join(workspace, "checkpoints")
+            os.makedirs(self.ckpt_path, exist_ok=True)
+            self.log_path = os.path.join(workspace, f"log_{name}.txt")
+            self.best_path = os.path.join(self.ckpt_path, f"{name}.ckpt")
+        else:
+            self.ckpt_path = self.log_path = self.best_path = None
+
+        if use_checkpoint == "scratch" or self.ckpt_path is None:
+            pass
+        elif use_checkpoint in ("latest", "latest_model", "best"):
+            path = (
+                self.best_path
+                if use_checkpoint == "best" and os.path.exists(self.best_path)
+                else latest_checkpoint(self.ckpt_path, name)
+            )
+            if path:
+                self.load_checkpoint(path, model_only="model" in use_checkpoint)
+        elif use_checkpoint and os.path.exists(use_checkpoint):
+            self.load_checkpoint(use_checkpoint, model_only=True)
+
+    # ------------------------------------------------------------------ util
+    def log(self, *args):
+        if not self.mute:
+            print(*args, flush=True)
+        if self.log_path:
+            with open(self.log_path, "a") as f:
+                print(*args, file=f)
+
+    def _adapt_budget(self, n_occ):
+        """mean_count analog: fit the static march budget to the scene
+        (power-of-two buckets, hysteresis, ref ``raymarching.py:198-216``)."""
+        p95 = float(np.percentile(np.asarray(n_occ), 95))
+        b = self.model.train_budget
+        if p95 > b and b < self.opt.max_steps:
+            self._budget_hysteresis += 1
+            if self._budget_hysteresis >= 2:
+                self.model.train_budget = min(b * 2, self.opt.max_steps)
+                self._budget_hysteresis = 0
+                self.log(f"[budget] raise march budget -> {self.model.train_budget}")
+        elif p95 < b // 4 and b > 32:
+            self._budget_hysteresis -= 1
+            if self._budget_hysteresis <= -2:
+                self.model.train_budget = b // 2
+                self._budget_hysteresis = 0
+                self.log(f"[budget] lower march budget -> {self.model.train_budget}")
+        else:
+            self._budget_hysteresis = 0
+
+    # ----------------------------------------------------------------- train
+    def train_step_data(self, data):
+        m = self.model
+        images = np.asarray(data["images"]).reshape(-1, data["images"].shape[-1])
+        has_alpha = images.shape[-1] == 4
+        rays_o = jnp.asarray(data["rays_o"]).reshape(-1, 3)
+        rays_d = jnp.asarray(data["rays_d"]).reshape(-1, 3)
+        (m.params, self.ema_params, self.opt_state, loss, per_ray, n_occ
+         ) = _train_step(
+            m.params, self.ema_params, self.opt_state, m.occ.occupancy,
+            rays_o, rays_d, jnp.asarray(images), m._next_key(),
+            m.cfg, m.rc, m.train_budget, self.optimizer.update, has_alpha,
+            self.ema_decay,
+        )
+        return loss, per_ray, n_occ
+
+    def train_one_epoch(self, loader):
+        m = self.model
+        total_loss, nsteps = 0.0, 0
+        self.error_map = getattr(loader, "error_map", None)
+        update_interval = getattr(self.opt, "update_extra_interval", 16)
+        for data in loader:
+            if self.global_step % update_interval == 0:
+                m.update_extra_state()
+            loss, per_ray, n_occ = self.train_step_data(data)
+            # error-map EMA update (host-side scatter; ref utils.py:549-556)
+            if self.error_map is not None and "inds_coarse" in data:
+                idx = data["index"]
+                inds = np.asarray(data["inds_coarse"]).reshape(-1)
+                err = np.asarray(per_ray).reshape(-1)
+                em = self.error_map[idx]
+                em[inds] = 0.1 * em[inds] + 0.9 * err
+                self.error_map[idx] = em
+            if self.global_step % update_interval == update_interval - 1:
+                self._adapt_budget(n_occ)
+            total_loss += float(loss)
+            nsteps += 1
+            self.global_step += 1
+            if self.global_step >= self.opt.iters:
+                break
+        avg = total_loss / max(nsteps, 1)
+        self.stats["loss"].append(avg)
+        return avg
+
+    def train(self, train_loader, valid_loader=None, max_epochs=1):
+        if self.model.use_occ and getattr(train_loader, "poses", None) is not None:
+            self.model.mark_untrained_grid(
+                train_loader.poses, train_loader.intrinsics
+            )
+        start = time.time()
+        for epoch in range(self.epoch + 1, max_epochs + 1):
+            self.epoch = epoch
+            avg = self.train_one_epoch(train_loader)
+            self.log(
+                f"[epoch {epoch}/{max_epochs}] loss={avg:.6f} "
+                f"step={self.global_step} "
+                f"elapsed={time.time() - start:.1f}s"
+            )
+            if self.workspace:
+                self.save_checkpoint(full=True)
+                prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
+            if valid_loader is not None and epoch % self.eval_interval == 0:
+                self.evaluate_one_epoch(valid_loader)
+            if self.global_step >= self.opt.iters:
+                break
+
+    # ------------------------------------------------------------------ eval
+    def eval_params(self):
+        return self.ema_params if self.ema_decay is not None else self.model.params
+
+    def evaluate_one_epoch(self, loader, name=None):
+        m = self.model
+        for metric in self.metrics:
+            metric.clear()
+        # evaluate with EMA weights (ref: ema.store/copy_to around eval)
+        params_backup, m.params = m.params, self.eval_params()
+        total_loss, n = 0.0, 0
+        try:
+            for data in loader:
+                images = np.asarray(data["images"])
+                B, H, W, C = images.shape
+                gt = (
+                    images[..., :3] * images[..., 3:] + (1.0 - images[..., 3:])
+                    if C == 4 else images
+                )
+                out = m.render(
+                    jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
+                    staged=True, max_ray_batch=getattr(self.opt, "max_ray_batch", 4096),
+                    bg_color=None, perturb=False,
+                )
+                pred = np.asarray(out["image"]).reshape(B, H, W, 3)
+                total_loss += float(np.mean((pred - gt) ** 2))
+                n += 1
+                for metric in self.metrics:
+                    metric.update(pred, gt)
+        finally:
+            m.params = params_backup
+        avg = total_loss / max(n, 1)
+        self.stats["valid_loss"].append(avg)
+        result = self.metrics[0].measure() if self.metrics else -avg
+        self.stats["results"].append(result)
+        for metric in self.metrics:
+            self.log(f"[eval] {metric.report()}")
+        if self.workspace and (
+            self.stats["best_result"] is None or result > self.stats["best_result"]
+        ):
+            self.stats["best_result"] = result
+            self.save_checkpoint(best=True)
+        return avg
+
+    def test(self, loader, save_path=None, write_video=False, name=None):
+        """Render the test trajectory to PNGs (and mp4 when imageio+ffmpeg
+        available), ref ``nerf/utils.py:661-717``."""
+        m = self.model
+        save_path = save_path or os.path.join(self.workspace, "results")
+        os.makedirs(save_path, exist_ok=True)
+        frames = []
+        params_backup, m.params = m.params, self.eval_params()
+        try:
+            for i, data in enumerate(loader):
+                out = m.render(
+                    jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
+                    staged=True,
+                    max_ray_batch=getattr(self.opt, "max_ray_batch", 4096),
+                )
+                H, W = data["H"], data["W"]
+                img = np.asarray(out["image"]).reshape(H, W, 3)
+                img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                frames.append(img8)
+                try:
+                    import cv2
+                    cv2.imwrite(
+                        os.path.join(save_path, f"{self.name}_{i:04d}_rgb.png"),
+                        cv2.cvtColor(img8, cv2.COLOR_RGB2BGR),
+                    )
+                except Exception:
+                    pass
+        finally:
+            m.params = params_backup
+        if write_video and frames:
+            try:
+                import imageio
+                imageio.mimwrite(
+                    os.path.join(save_path, f"{self.name}_rgb.mp4"),
+                    np.stack(frames), fps=25, quality=8,
+                    macro_block_size=1,
+                )
+            except Exception as e:  # ffmpeg may be absent
+                self.log(f"[test] video write skipped: {e}")
+        return frames
+
+    # ------------------------------------------------------------ checkpoint
+    def _state(self, full=True):
+        state = {
+            "params": self.model.params,
+            "ema_params": self.ema_params,
+            "occ": self.model.occ._asdict(),
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "train_budget": self.model.train_budget,
+        }
+        if full:
+            state["opt_state"] = self.opt_state
+        return state
+
+    def save_checkpoint(self, full=True, best=False):
+        if best:
+            state = self._state(full=False)
+            state.pop("occ")  # best ckpt drops the grid, ref utils.py:1067-1069
+            save_checkpoint(self.best_path, state)
+            return self.best_path
+        path = os.path.join(
+            self.ckpt_path, f"{self.name}_ep{self.epoch:04d}.ckpt"
+        )
+        save_checkpoint(path, self._state(full=full))
+        self.stats["checkpoints"].append(path)
+        return path
+
+    def load_checkpoint(self, path, model_only=False):
+        raw = load_checkpoint(path)
+        self.model.params = restore_like(self.model.params, raw["params"])
+        if "ema_params" in raw:
+            self.ema_params = restore_like(self.ema_params, raw["ema_params"])
+        if "occ" in raw:
+            occ = self.model.occ
+            self.model.occ = occ._replace(
+                **{
+                    k: restore_like(getattr(occ, k), v)
+                    for k, v in raw["occ"].items()
+                }
+            )
+        if not model_only:
+            self.epoch = int(raw.get("epoch", 0))
+            self.global_step = int(raw.get("global_step", 0))
+            self.model.train_budget = int(
+                raw.get("train_budget", self.model.train_budget)
+            )
+            if "opt_state" in raw:
+                try:
+                    self.opt_state = restore_like(self.opt_state, raw["opt_state"])
+                except Exception as e:
+                    self.log(f"[ckpt] optimizer restore failed (soft): {e}")
+        self.log(f"[ckpt] loaded {path}")

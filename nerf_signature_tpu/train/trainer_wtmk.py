@@ -1,0 +1,398 @@
+"""Watermark-stage trainer: embed the codebook message + train the extractor.
+
+Equivalent of the reference's watermark ``Trainer``
+(``nerf/utils_wtmk_disen.py:363-1517``):
+  * ``loss_w`` = BCE-with-logits on ``decoded * temp(10)`` vs bits, or MSE vs
+    +-1 (``utils_wtmk_disen.py:438-443``),
+  * ``train_step`` (``:579-646``): render the ``message_dim`` key blocks with
+    the message -> clamp -> distort -> HiDDeN decode (1 bit/block); render
+    fresh content rays -> MSE vs pseudo-GT; total =
+    ``lambda_w * loss_w + lambda_i * loss_i``,
+  * a FRESH random message every step (``:1165``),
+  * gradients flow ONLY to msg_tables + decoder (structural freeze — the
+    backbone is a captured constant of the jitted step),
+  * occupancy grid inherited frozen from the clean checkpoint; only
+    ``mark_untrained_grid`` at train start (``:759-760``), never
+    ``update_extra_state``,
+  * ``test_bitacc``: 200 random messages -> sign-agreement accuracy
+    (``:935-1017``); ``test_bitacc_record`` appends per-trial accuracies to
+    ``bitacc.txt`` (``:1019-1085``),
+  * ``test_image``: PSNR/SSIM/LPIPS vs pseudo-GT + PNG dumps (``:816-933``).
+
+TPU-native: the whole (render blocks + distort + decode + render content +
+losses + Adam) step is ONE jitted program; block rays are a static
+[D, bh, bw, 3] tensor so every step reuses the same executable.
+"""
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..api import WatermarkModel
+from ..models.hidden import hidden_decoder_apply, normalize_img
+from ..models.watermark import wtmk_field
+from ..render.renderer import render_rays_occ
+from ..utils.image import distortion_layer
+from .checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    prune_checkpoints,
+    restore_like,
+    save_checkpoint,
+)
+from .metrics import BitAccMeter, PSNRMeter, SSIMMeter
+from .trainer import make_optimizer
+
+
+def make_loss_w(kind, temp=10.0):
+    """ref ``utils_wtmk_disen.py:438-443``."""
+    if kind == "mse":
+        return lambda decoded, bits: jnp.mean(
+            (decoded * temp - (2.0 * bits - 1.0)) ** 2
+        )
+    if kind == "bce":
+        return lambda decoded, bits: jnp.mean(
+            optax.sigmoid_binary_cross_entropy(decoded * temp, bits)
+        )
+    raise NotImplementedError(kind)
+
+
+def _render_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
+                   message, wcfg, rc, budget):
+    """rays_*_b: [D, bh, bw, 3] -> rendered blocks [D, bh, bw, 3]."""
+    D, bh, bw, _ = rays_o_b.shape
+    field = lambda x, d: wtmk_field(backbone, trainable, wcfg, x, d, message)
+    out = render_rays_occ(
+        field, occupancy, rays_o_b.reshape(-1, 3), rays_d_b.reshape(-1, 3),
+        rc, budget=budget, bg_color=1.0,
+    )
+    return jnp.clip(out["image"].reshape(D, bh, bw, 3), 0.0, 1.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wcfg", "rc", "budget", "opt_update", "distortion",
+                     "loss_kind"),
+    donate_argnums=(1, 2),
+)
+def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
+                     rays_d_b, content_rays_o, content_rays_d, content_gt,
+                     message, key, lambda_w, lambda_i, wcfg, rc, budget,
+                     opt_update, distortion, loss_kind):
+    loss_w_fn = make_loss_w(loss_kind)
+
+    def loss_fn(tr):
+        blocks = _render_blocks(
+            backbone, tr, occupancy, rays_o_b, rays_d_b, message,
+            wcfg, rc, budget,
+        )
+        blocks_dist = distortion_layer(key, blocks, distortion)
+        decoded = hidden_decoder_apply(
+            tr["decoder"], wcfg.decoder, normalize_img(blocks_dist)
+        )  # [D, 1]
+        lossw = loss_w_fn(decoded, message.astype(jnp.float32)[:, None])
+
+        field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
+        out = render_rays_occ(
+            field, occupancy, content_rays_o, content_rays_d, rc,
+            budget=budget, bg_color=1.0,
+        )
+        lossi = jnp.mean((out["image"] - content_gt) ** 2)
+        loss = lambda_w * lossw + lambda_i * lossi
+        return loss, (lossw, lossi, decoded)
+
+    (loss, (lossw, lossi, decoded)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(trainable)
+    updates, opt_state = opt_update(grads, opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    return trainable, opt_state, loss, lossw, lossi, decoded
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wcfg", "rc", "budget", "distortion"),
+)
+def _wtmk_decode_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
+                        message, key, wcfg, rc, budget, distortion):
+    blocks = _render_blocks(
+        backbone, trainable, occupancy, rays_o_b, rays_d_b, message,
+        wcfg, rc, budget,
+    )
+    blocks_dist = distortion_layer(key, blocks, distortion)
+    decoded = hidden_decoder_apply(
+        trainable["decoder"], wcfg.decoder, normalize_img(blocks_dist)
+    )
+    return blocks, decoded
+
+
+class WatermarkTrainer:
+    def __init__(self, name, opt, model: WatermarkModel, workspace="workspace",
+                 metrics=None, metrics_message=None, eval_interval=10,
+                 save_interval=10, max_keep_ckpt=2, use_checkpoint="latest",
+                 mute=False):
+        self.name = name
+        self.opt = opt
+        self.model = model
+        self.workspace = workspace
+        self.metrics = metrics if metrics is not None else [PSNRMeter(), SSIMMeter()]
+        self.metrics_message = metrics_message if metrics_message is not None else [BitAccMeter()]
+        self.eval_interval = eval_interval
+        self.save_interval = save_interval
+        self.max_keep_ckpt = max_keep_ckpt
+        self.mute = mute
+
+        self.lambda_w = opt.lambda_w
+        self.lambda_i = opt.lambda_i
+        self.loss_kind = getattr(opt, "loss_w", "bce")
+        self.distortion = getattr(opt, "distortion", "none")
+        self.message_dim = opt.message_dim
+
+        self.optimizer = make_optimizer(opt.lr, opt.iters)
+        self.opt_state = self.optimizer.init(model.trainable)
+
+        self.epoch = 0
+        self.global_step = 0
+        self.stats = {"loss": [], "lossi": [], "lossw": [], "results": [],
+                      "checkpoints": [], "best_result": None}
+        self.rng = np.random.default_rng(opt.seed)
+
+        if workspace is not None:
+            os.makedirs(workspace, exist_ok=True)
+            self.ckpt_path = os.path.join(workspace, "checkpoints")
+            os.makedirs(self.ckpt_path, exist_ok=True)
+            self.log_path = os.path.join(workspace, f"log_{name}.txt")
+            self.best_path = os.path.join(self.ckpt_path, f"{name}.ckpt")
+        else:
+            self.ckpt_path = self.log_path = self.best_path = None
+
+        # checkpoint resolution, ref utils_wtmk_disen.py:508-526
+        if use_checkpoint == "scratch" or self.ckpt_path is None:
+            pass
+        elif use_checkpoint in ("latest", "latest_model", "best"):
+            path = (
+                self.best_path
+                if use_checkpoint == "best" and os.path.exists(self.best_path)
+                else latest_checkpoint(self.ckpt_path, name)
+            )
+            if path:
+                self.load_checkpoint(path, model_only="model" in use_checkpoint)
+        elif use_checkpoint and os.path.exists(use_checkpoint):
+            self.load_checkpoint(use_checkpoint, model_only=True)
+
+    # ------------------------------------------------------------------ util
+    def log(self, *args):
+        if not self.mute:
+            print(*args, flush=True)
+        if self.log_path:
+            with open(self.log_path, "a") as f:
+                print(*args, file=f)
+
+    def random_message(self):
+        return self.rng.integers(0, 2, self.message_dim).astype(np.int32)
+
+    # ----------------------------------------------------------------- train
+    def train_step_data(self, data, message):
+        m = self.model
+        wm = data["watermark"]
+        ct = data["content"]
+        (m.trainable, self.opt_state, loss, lossw, lossi, decoded
+         ) = _wtmk_train_step(
+            m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
+            jnp.asarray(wm["rays_o_block"]), jnp.asarray(wm["rays_d_block"]),
+            jnp.asarray(ct["rays_o"]).reshape(-1, 3),
+            jnp.asarray(ct["rays_d"]).reshape(-1, 3),
+            jnp.asarray(ct["images"]).reshape(-1, 3),
+            jnp.asarray(message), m._next_key(),
+            jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
+            m.wcfg, m.rc, m.train_budget, self.optimizer.update,
+            self.distortion, self.loss_kind,
+        )
+        return loss, lossw, lossi, decoded
+
+    def train_one_epoch(self, loader):
+        tot, totw, toti, n = 0.0, 0.0, 0.0, 0
+        for data in loader:
+            message = self.random_message()  # fresh per step, ref :1165
+            loss, lossw, lossi, _ = self.train_step_data(data, message)
+            tot += float(loss); totw += float(lossw); toti += float(lossi)
+            n += 1
+            self.global_step += 1
+            if self.global_step >= self.opt.iters:
+                break
+        self.stats["loss"].append(tot / max(n, 1))
+        self.stats["lossw"].append(totw / max(n, 1))
+        self.stats["lossi"].append(toti / max(n, 1))
+        return tot / max(n, 1), totw / max(n, 1), toti / max(n, 1)
+
+    def train(self, train_loader, test_image_loader=None,
+              test_bitacc_loader=None, max_epochs=1):
+        # grid is frozen from the clean ckpt; only frustum-mark it
+        if self.model.use_occ and getattr(train_loader, "poses", None) is not None:
+            self.model.mark_untrained_grid(
+                train_loader.poses, train_loader.intrinsics
+            )
+        if self.workspace and getattr(train_loader, "images_block", None) is not None:
+            self._save_gt_blocks(train_loader)
+        start = time.time()
+        for epoch in range(self.epoch + 1, max_epochs + 1):
+            self.epoch = epoch
+            loss, lossw, lossi = self.train_one_epoch(train_loader)
+            self.log(
+                f"[wm epoch {epoch}/{max_epochs}] loss={loss:.6f} "
+                f"lossw={lossw:.6f} lossi={lossi:.6f} "
+                f"step={self.global_step} elapsed={time.time()-start:.1f}s"
+            )
+            if test_bitacc_loader is not None and epoch % self.eval_interval == 0:
+                self.test_bitacc(test_bitacc_loader)
+            if test_image_loader is not None and epoch % self.eval_interval == 0:
+                self.test_image(test_image_loader)
+            if self.workspace and epoch % self.save_interval == 0:
+                self.save_checkpoint(full=True)
+                prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
+            if self.global_step >= self.opt.iters:
+                break
+        if self.workspace:
+            self.save_checkpoint(full=True)
+
+    def _save_gt_blocks(self, loader):
+        """Dump the GT key-block crops once (ref ``:766-789``)."""
+        try:
+            import cv2
+            path = os.path.join(self.workspace, "gt_blocks")
+            os.makedirs(path, exist_ok=True)
+            for i, b in enumerate(np.asarray(loader.images_block)):
+                cv2.imwrite(
+                    os.path.join(path, f"block_{i:02d}.png"),
+                    cv2.cvtColor((np.clip(b, 0, 1) * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR),
+                )
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------ eval
+    def eval_blocks(self, wm, message, distortion=None):
+        m = self.model
+        blocks, decoded = _wtmk_decode_blocks(
+            m.backbone, m.trainable, m.occ.occupancy,
+            jnp.asarray(wm["rays_o_block"]), jnp.asarray(wm["rays_d_block"]),
+            jnp.asarray(message), m._next_key(), m.wcfg, m.rc,
+            m.infer_budget, distortion or self.distortion,
+        )
+        return np.asarray(blocks), np.asarray(decoded)
+
+    def test_bitacc(self, loader, record_path=None):
+        """200 random messages -> sign-agreement bit accuracy.
+        Ref ``test_bitacc`` / ``test_bitacc_record`` (``:935-1085``)."""
+        meter = self.metrics_message[0]
+        meter.clear()
+        for data in loader:
+            message = self.random_message()
+            _, decoded = self.eval_blocks(data["watermark"], message)
+            meter.update(decoded.reshape(-1), message)
+        acc = meter.measure()
+        self.log(f"[test_bitacc] {meter.report()} over {meter.N} messages")
+        if record_path or (self.workspace and record_path is None):
+            path = record_path or os.path.join(self.workspace, "bitacc.txt")
+            with open(path, "a") as f:
+                for r in meter.records:
+                    f.write(f"{r}\n")
+        if acc is not None and (
+            self.stats["best_result"] is None or acc > self.stats["best_result"]
+        ):
+            self.stats["best_result"] = acc
+            if self.workspace:
+                self.save_checkpoint(best=True)
+        return acc
+
+    def test_image(self, loader, name="test_image"):
+        """Whole-image renders with a random message vs pseudo-GT.
+        Ref ``test_image`` (``:816-933``)."""
+        for metric in self.metrics:
+            metric.clear()
+        m = self.model
+        save_path = os.path.join(self.workspace, name) if self.workspace else None
+        if save_path:
+            os.makedirs(save_path, exist_ok=True)
+        for i, data in enumerate(loader):
+            message = self.random_message()
+            out = m.render(
+                jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
+                message, staged=True,
+                max_ray_batch=getattr(self.opt, "max_ray_batch", 4096),
+            )
+            H, W = data["H"], data["W"]
+            pred = np.clip(np.asarray(out["image"]).reshape(-1, H, W, 3), 0, 1)
+            gt = np.asarray(data["images"]).reshape(-1, H, W, 3)
+            for metric in self.metrics:
+                metric.update(pred, gt)
+            if save_path:
+                try:
+                    import cv2
+                    cv2.imwrite(
+                        os.path.join(save_path, f"{i:04d}_rgb.png"),
+                        cv2.cvtColor((pred[0] * 255).astype(np.uint8),
+                                     cv2.COLOR_RGB2BGR),
+                    )
+                except Exception:
+                    pass
+        for metric in self.metrics:
+            self.log(f"[{name}] {metric.report()}")
+        return {m_.name: m_.measure() for m_ in self.metrics}
+
+    # ------------------------------------------------------------ checkpoint
+    def _state(self, full=True):
+        state = {
+            "backbone": self.model.backbone,
+            "trainable": self.model.trainable,
+            "occ": self.model.occ._asdict(),
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+        }
+        if full:
+            state["opt_state"] = self.opt_state
+        return state
+
+    def save_checkpoint(self, full=True, best=False):
+        if best:
+            state = self._state(full=False)
+            state.pop("occ")
+            save_checkpoint(self.best_path, state)
+            return self.best_path
+        path = os.path.join(self.ckpt_path, f"{self.name}_ep{self.epoch:04d}.ckpt")
+        save_checkpoint(path, self._state(full=full))
+        self.stats["checkpoints"].append(path)
+        return path
+
+    def load_checkpoint(self, path, model_only=False):
+        """Loads either a watermark ckpt or a CLEAN-stage ckpt (whose params
+        become the frozen backbone; msg/decoder keys absent => keep init) —
+        the strict=False cross-stage ingestion (ref ``:1474-1479``)."""
+        raw = load_checkpoint(path)
+        m = self.model
+        if "backbone" in raw:
+            m.backbone = restore_like(m.backbone, raw["backbone"])
+            if "trainable" in raw:
+                m.trainable = restore_like(m.trainable, raw["trainable"])
+        elif "params" in raw:  # clean-stage checkpoint
+            m.backbone = restore_like(m.backbone, raw["params"])
+        if "occ" in raw:
+            occ = m.occ
+            m.occ = occ._replace(
+                **{k: restore_like(getattr(occ, k), v)
+                   for k, v in raw["occ"].items()}
+            )
+        if not model_only:
+            self.epoch = int(raw.get("epoch", 0))
+            self.global_step = int(raw.get("global_step", 0))
+            if "opt_state" in raw:
+                try:
+                    self.opt_state = restore_like(self.opt_state, raw["opt_state"])
+                except Exception as e:
+                    self.log(f"[ckpt] optimizer restore failed (soft): {e}")
+        self.log(f"[ckpt] loaded {path}")

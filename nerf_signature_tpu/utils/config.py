@@ -1,0 +1,115 @@
+"""CLI flag surface reproducing both reference entry points
+(``main_nerf.py:12-62`` — 27 flags; ``main_nerf_wtmk.py:12-77`` — +13 wm
+flags), including the ``-O`` macro (= fp16 + occupancy-grid marching +
+preload) and the reference quirks we consciously keep or fix:
+
+  * the reference force-sets ``fp16=True`` regardless of the flag
+    (``main_nerf.py:75``); here ``--fp16`` maps to bf16 compute (TPU-native)
+    and is honoured, with ``-O`` enabling it like upstream,
+  * ``--ff`` / ``--tcnn`` are accepted but no-ops (they were in the reference
+    too — the import was unconditional),
+  * ``--cuda_ray`` selects the occupancy-grid marching path (the TPU
+    equivalent of the CUDA marcher); the flag name is kept for CLI
+    compatibility.
+"""
+
+import argparse
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("path", type=str)
+    parser.add_argument("-O", action="store_true",
+                        help="equals --fp16 --cuda_ray --preload")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--workspace", type=str, default="workspace")
+    parser.add_argument("--seed", type=int, default=0)
+
+    # training
+    parser.add_argument("--iters", type=int, default=30000)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--ckpt", type=str, default="latest")
+    parser.add_argument("--num_rays", type=int, default=4096)
+    parser.add_argument("--cuda_ray", action="store_true",
+                        help="occupancy-grid accelerated marching (TPU path)")
+    parser.add_argument("--max_steps", type=int, default=1024)
+    parser.add_argument("--num_steps", type=int, default=512)
+    parser.add_argument("--upsample_steps", type=int, default=0)
+    parser.add_argument("--update_extra_interval", type=int, default=16)
+    parser.add_argument("--max_ray_batch", type=int, default=4096)
+    parser.add_argument("--patch_size", type=int, default=1)
+
+    # backbone
+    parser.add_argument("--fp16", action="store_true",
+                        help="low-precision compute (bf16 on TPU)")
+    parser.add_argument("--ff", action="store_true", help="(no-op, parity)")
+    parser.add_argument("--tcnn", action="store_true", help="(no-op, parity)")
+
+    # dataset
+    parser.add_argument("--color_space", type=str, default="srgb")
+    parser.add_argument("--preload", action="store_true")
+    parser.add_argument("--bound", type=float, default=2.0)
+    parser.add_argument("--scale", type=float, default=0.33)
+    parser.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
+    parser.add_argument("--dt_gamma", type=float, default=1 / 128)
+    parser.add_argument("--min_near", type=float, default=0.2)
+    parser.add_argument("--density_thresh", type=float, default=10)
+    parser.add_argument("--bg_radius", type=float, default=-1)
+
+    # GUI-era flags (offline viewer)
+    parser.add_argument("--gui", action="store_true")
+    parser.add_argument("--W", type=int, default=1920)
+    parser.add_argument("--H", type=int, default=1080)
+    parser.add_argument("--radius", type=float, default=5)
+    parser.add_argument("--fovy", type=float, default=50)
+    parser.add_argument("--max_spp", type=int, default=64)
+
+    # experimental
+    parser.add_argument("--error_map", action="store_true")
+    parser.add_argument("--clip_text", type=str, default="")
+    parser.add_argument("--rand_pose", type=int, default=-1)
+
+    # TPU-native extras
+    parser.add_argument("--train_budget", type=int, default=128,
+                        help="static per-ray sample budget (auto-adapted)")
+    parser.add_argument("--infer_budget", type=int, default=256)
+    parser.add_argument("--grid_size", type=int, default=128)
+    parser.add_argument("--devices", type=int, default=0,
+                        help="shard rays over N devices (0 = all available)")
+    parser.add_argument("--mesh_resolution", type=int, default=256)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (debug)")
+    return parser
+
+
+def add_wtmk_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--wtmk_tcnn", action="store_true",
+                        help="watermarked network (name kept for parity)")
+    parser.add_argument("--message_dim", type=int, default=16)
+    parser.add_argument("--downscale", type=float, default=1)
+    parser.add_argument("--lambda_w", type=float, default=1.0)
+    parser.add_argument("--lambda_i", type=float, default=1.0)
+    parser.add_argument("--loss_w", type=str, default="bce")
+    parser.add_argument("--n_views", type=int, default=1)
+    parser.add_argument("--num_rows", type=int, default=16)
+    parser.add_argument("--num_cols", type=int, default=16)
+    parser.add_argument("--use_existset", action="store_true")
+    parser.add_argument("--eval_interval", type=int, default=10)
+    parser.add_argument("--save_interval", type=int, default=10)
+    parser.add_argument("--num_images_test", type=int, default=360)
+    parser.add_argument(
+        "--distortion", type=str, default="none",
+        choices=["none", "noise", "rotation", "scaling", "blurring",
+                 "brightness"],
+    )
+    return parser
+
+
+def apply_O_macro(opt):
+    if opt.O:
+        opt.fp16 = True
+        opt.cuda_ray = True
+        opt.preload = True
+    if opt.patch_size > 1:
+        opt.error_map = False
+        assert opt.num_rays % (opt.patch_size**2) == 0
+    return opt
