@@ -13,13 +13,16 @@ Behavioural parity with the reference's pure-torch HashNeRF encoder
   * per-level features concatenated level-major -> ``[N, L * F]``,
   * tables initialised U(-1e-4, 1e-4).
 
-TPU-native differences from the reference:
-  * the reference keeps 16 separate ``nn.Embedding`` tables and loops over
-    levels in Python; here all levels live in ONE ``[L * 2**S, F]`` array and
-    the encode is a single batched gather over a ``[N, L, 8]`` index tensor —
-    one XLA gather instead of 16 kernel launches,
-  * the corner-weight product is computed as a ``[N, L, 8]`` tensor and the
-    interpolation is one einsum (VPU-friendly), not 7 chained lerps.
+TPU-native design (vs the reference's per-level Python loop of embedding
+lookups):
+  * all levels live in ONE ``[L * 2**S, F]`` array,
+  * the hot path is laid out **sample-minor**: every large intermediate is
+    ``[L, M]`` so the minor (lane) dimension is the huge sample count — a
+    ``[M, L, 8, 3]`` corner tensor would be padded 16-42x by TPU (8, 128)
+    register tiling (measured: 12 GB for a 768 MB logical tensor),
+  * the 8 corners are a STATIC Python loop accumulating
+    ``out += corner_weight * gathered_feature`` — no materialised corner
+    axis at all; 8 x F gathers of ``[L, M]`` each, perfectly tiled.
 """
 
 import functools
@@ -29,22 +32,15 @@ import jax.numpy as jnp
 import numpy as np
 
 # Same primes as the reference (`hash_encoding.py:16`); 3 are enough for xyz.
-_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+_PRIMES = (1, 2654435761, 805459861)
 
 # Corner offsets in the reference's BOX_OFFSETS order (`hash_encoding.py:8`):
 # corner index c = i*4 + j*2 + k for (i, j, k) in {0,1}^3.
-_CORNERS = np.array(
-    [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=np.uint32
-)  # [8, 3]
+_CORNERS = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
 
 
 def level_resolutions(n_levels, base_resolution, finest_resolution):
-    """Per-level grid resolutions, matching ``hash_encoding.py:60,100``.
-
-    Returns a float64 numpy array; the reference floors
-    ``base * b**i`` where b is computed in float32/torch — we floor in float64
-    which agrees for all practical (base, finest, L).
-    """
+    """Per-level grid resolutions, matching ``hash_encoding.py:60,100``."""
     if n_levels == 1:
         return np.array([float(base_resolution)])
     b = np.exp(
@@ -67,11 +63,17 @@ def hash_coords(coords, log2_hashmap_size):
     """Spatial hash of integer corner coords (uint32), ref ``hash_encoding.py:11-22``.
 
     coords: [..., 3] uint32.  Returns uint32 indices in [0, 2**S).
+    (Reference-parity helper; the hot path uses ``_hash3`` on unpacked axes.)
     """
     coords = coords.astype(jnp.uint32)
-    h = coords[..., 0] * _PRIMES[0]
-    h = h ^ (coords[..., 1] * _PRIMES[1])
-    h = h ^ (coords[..., 2] * _PRIMES[2])
+    return _hash3(coords[..., 0], coords[..., 1], coords[..., 2],
+                  log2_hashmap_size)
+
+
+def _hash3(cx, cy, cz, log2_hashmap_size):
+    h = cx * jnp.uint32(_PRIMES[0])
+    h = h ^ (cy * jnp.uint32(_PRIMES[1]))
+    h = h ^ (cz * jnp.uint32(_PRIMES[2]))
     return h & jnp.uint32((1 << log2_hashmap_size) - 1)
 
 
@@ -79,35 +81,48 @@ def hash_coords(coords, log2_hashmap_size):
     jax.jit, static_argnames=("log2_hashmap_size", "resolutions_key")
 )
 def _hash_encode_impl(x, table, resolutions, log2_hashmap_size, resolutions_key):
-    del resolutions_key  # only used to key the jit cache on the level config
-    n_levels = resolutions.shape[0]
-    f = table.shape[-1]
+    del resolutions_key  # keys the jit cache on the level config
+    L = resolutions.shape[0]
+    F = table.shape[-1]
+    M = x.shape[0]
 
     x = jnp.clip(x, 0.0, 1.0)  # ref clamps to the (0,1) bounding box
-    # [N, L, 3] = position scaled into each level's grid
-    scaled = x[:, None, :] * resolutions[None, :, None]
-    floor = jnp.floor(scaled)
-    w = (scaled - floor).astype(table.dtype)  # trilinear weights in [0, 1)
+    # unpack axes immediately: [M] each (sample-minor layouts from here on)
+    axes = [x[:, a] for a in range(3)]
 
-    corner_coords = floor.astype(jnp.uint32)[:, :, None, :] + _CORNERS[None, None]
-    idx = hash_coords(corner_coords, log2_hashmap_size)  # [N, L, 8]
-    # offset each level into its slice of the fused table
+    # [L, M]: scaled position per level
+    res = resolutions[:, None].astype(x.dtype)
+    scaled = [a[None, :] * res for a in axes]
+    floor = [jnp.floor(s) for s in scaled]
+    w = [(s - f).astype(table.dtype) for s, f in zip(scaled, floor)]
+    cell = [f.astype(jnp.uint32) for f in floor]
+
     level_offset = (
-        jnp.arange(n_levels, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
-    )
-    idx = (idx + level_offset[None, :, None]).astype(jnp.int32)
+        jnp.arange(L, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
+    )[:, None]
 
-    emb = table[idx]  # [N, L, 8, F] — one batched XLA gather
+    # static corner loop: accumulate weight * gathered feature, [L, M] each
+    flat = [table[:, f_] for f_ in range(F)]  # F views of [L * 2**S]
+    acc = [jnp.zeros((L, M), table.dtype) for _ in range(F)]
+    for (di, dj, dk) in _CORNERS:
+        idx = _hash3(
+            cell[0] + jnp.uint32(di),
+            cell[1] + jnp.uint32(dj),
+            cell[2] + jnp.uint32(dk),
+            log2_hashmap_size,
+        )
+        idx = (idx + level_offset).astype(jnp.int32)
+        cw = (
+            (w[0] if di else 1.0 - w[0])
+            * (w[1] if dj else 1.0 - w[1])
+            * (w[2] if dk else 1.0 - w[2])
+        )
+        for f_ in range(F):
+            acc[f_] = acc[f_] + cw * flat[f_][idx]
 
-    # corner weight for (i,j,k): prod over axes of (w if bit else 1-w)
-    bits = _CORNERS.astype(table.dtype)  # [8, 3]
-    cw = jnp.prod(
-        w[:, :, None, :] * bits[None, None] + (1.0 - w[:, :, None, :]) * (1.0 - bits[None, None]),
-        axis=-1,
-    )  # [N, L, 8]
-
-    out = jnp.einsum("nlc,nlcf->nlf", cw, emb)
-    return out.reshape(x.shape[0], n_levels * f)
+    # [F, L, M] -> [M, L, F] -> [M, L*F] (level-major like torch's concat)
+    out = jnp.stack(acc, axis=0)
+    return jnp.transpose(out, (2, 1, 0)).reshape(M, L * F)
 
 
 def hash_encode(x, table, resolutions, log2_hashmap_size):

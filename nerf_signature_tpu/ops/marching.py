@@ -137,23 +137,32 @@ def march_rays(
     ts, dts = _candidate_ts(t0, n_cand, dt_min, dt_max, dt_gamma)  # [N, T]
     valid = ts < fars[:, None]
 
-    pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-    pos = jnp.clip(pos, -bound, bound)
+    # per-axis positions [N, T] (a stacked [N, T, 3] would be padded 42x by
+    # TPU register tiling; see ops/hashenc.py)
+    pos = [
+        jnp.clip(rays_o[:, a : a + 1] + ts * rays_d[:, a : a + 1], -bound, bound)
+        for a in range(3)
+    ]
 
     if C == 1:
-        level = jnp.zeros(ts.shape, jnp.int32)
+        level = None
         mip_bound = jnp.float32(min(1.0, bound))
     else:
-        level = _mip_level(pos, dts, C, H)
+        mx = jnp.maximum(jnp.abs(pos[0]),
+                         jnp.maximum(jnp.abs(pos[1]), jnp.abs(pos[2])))
+        e_pos = jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30))) + 1.0
+        e_dt = jnp.floor(jnp.log2(jnp.maximum(dts * H * 0.5, 1e-30))) + 1.0
+        level = jnp.clip(jnp.maximum(e_pos, e_dt), 0, C - 1).astype(jnp.int32)
         mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
 
     # nearest cell, ref ``raymarching.cu:374-376``
-    scaled = 0.5 * (pos / mip_bound[..., None] + 1.0) * H
-    cell = jnp.clip(scaled, 0.0, H - 1).astype(jnp.int32)  # [N, T, 3]
-
-    flat_idx = (
-        ((level * H + cell[..., 0]) * H + cell[..., 1]) * H + cell[..., 2]
-    )
+    cell = [
+        jnp.clip(0.5 * (p / mip_bound + 1.0) * H, 0.0, H - 1).astype(jnp.int32)
+        for p in pos
+    ]
+    flat_idx = (cell[0] * H + cell[1]) * H + cell[2]
+    if level is not None:
+        flat_idx = level * (H * H * H) + flat_idx
     occ = occupancy.reshape(-1)[flat_idx] & valid  # [N, T] bool
 
     n_occupied = jnp.sum(occ.astype(jnp.int32), axis=-1)
