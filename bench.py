@@ -66,20 +66,28 @@ def main():
             cfg, rc, budget, optimizer.update, False, 0.95,
         )
 
-    key = jax.random.PRNGKey(1)
-    # warmup / compile
-    params, ema, opt_state, loss, _, n_occ = step(params, ema, opt_state, key)
+    # pre-split keys on device: a per-iteration fold_in is its own dispatch
+    # (a full relay roundtrip under axon) and was dominating the measurement
+    n_warm, n_meas = 50, 150
+    keys = jax.random.split(jax.random.PRNGKey(1), n_warm + n_meas + 1)
+    params, ema, opt_state, loss, _, n_occ = step(params, ema, opt_state, keys[0])
     jax.block_until_ready(loss)
 
-    iters = 50
+    # slope-based timing: time(n_warm + n_meas) - time(n_warm) removes
+    # constant dispatch/queue overheads
     t0 = time.perf_counter()
-    for i in range(iters):
-        key = jax.random.fold_in(key, i)
-        params, ema, opt_state, loss, _, _ = step(params, ema, opt_state, key)
+    for i in range(n_warm):
+        params, ema, opt_state, loss, _, _ = step(params, ema, opt_state,
+                                                  keys[1 + i])
     jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    for i in range(n_meas):
+        params, ema, opt_state, loss, _, _ = step(params, ema, opt_state,
+                                                  keys[1 + n_warm + i])
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t1
 
-    rays_per_sec = n_rays * iters / dt
+    rays_per_sec = n_rays * n_meas / dt
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),

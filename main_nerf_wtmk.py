@@ -76,6 +76,22 @@ def main():
 
     if opt.test:
         trainer.test_bitacc(make_loader("test", opt.n_views, 200))
+        if opt.attack_suite:
+            from nerf_signature_tpu.train.attack import attack_sweep
+            attack_sweep(trainer, make_loader("test", opt.n_views, 50),
+                         n_test=50)
+        if opt.adv_attack:
+            from nerf_signature_tpu.train.attack import parameter_attack
+            loader = make_loader("train", opt.n_views, 100)
+            attacked = parameter_attack(
+                trainer, loader, epsilon=opt.adv_epsilon, steps=opt.adv_steps,
+                num_rays=opt.num_rays,
+            )
+            original = model.trainable
+            model.trainable = attacked
+            trainer.log("[adv_attack] bit accuracy AFTER epsilon-ball attack:")
+            trainer.test_bitacc(make_loader("test", opt.n_views, 200))
+            model.trainable = original
         trainer.test_image(
             make_loader("test_image", opt.num_images_test, 4),
             name="test_image_from_randomviews",

@@ -40,6 +40,16 @@ from .checkpoint import (
 from .metrics import PSNRMeter
 
 
+def linear_to_srgb(x):
+    """ref ``nerf/utils.py:44-45``."""
+    return np.where(x < 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+
+
+def srgb_to_linear(x):
+    """ref ``nerf/utils.py:48-50``."""
+    return np.where(x < 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
 def make_lr_schedule(lr, iters):
     """0.1 ** min(step/iters, 1), ref ``main_nerf.py:127``."""
     return lambda count: lr * 0.1 ** jnp.minimum(count / iters, 1.0)
@@ -114,6 +124,29 @@ class Trainer:
         # distinct buffers: params and ema are both donated to the jitted step
         self.ema_params = jax.tree_util.tree_map(jnp.copy, model.params)
 
+        # multi-device data parallelism: shard the ray axis, replicate params;
+        # GSPMD inserts the gradient all-reduce over ICI (see parallel/mesh.py)
+        n_dev = getattr(opt, "devices", 0)
+        if n_dev == 0:
+            n_dev = 1
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh
+
+            assert opt.num_rays % n_dev == 0, "num_rays must divide devices"
+            self.mesh = make_mesh(n_dev)
+            self._shard = NamedSharding(self.mesh, P("rays"))
+            self._repl = NamedSharding(self.mesh, P())
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._repl), t
+            )
+            self.model.params = put(self.model.params)
+            self.ema_params = put(self.ema_params)
+            self.opt_state = put(self.opt_state)
+        else:
+            self.mesh = None
+
         self.epoch = 0
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "results": [],
@@ -176,13 +209,23 @@ class Trainer:
     def train_step_data(self, data):
         m = self.model
         images = np.asarray(data["images"]).reshape(-1, data["images"].shape[-1])
+        if getattr(self.opt, "color_space", "srgb") == "linear":
+            images = images.copy()
+            images[..., :3] = srgb_to_linear(images[..., :3])
         has_alpha = images.shape[-1] == 4
         rays_o = jnp.asarray(data["rays_o"]).reshape(-1, 3)
         rays_d = jnp.asarray(data["rays_d"]).reshape(-1, 3)
+        images_dev = jnp.asarray(images)
+        occupancy = m.occ.occupancy
+        if self.mesh is not None:
+            rays_o = jax.device_put(rays_o, self._shard)
+            rays_d = jax.device_put(rays_d, self._shard)
+            images_dev = jax.device_put(images_dev, self._shard)
+            occupancy = jax.device_put(occupancy, self._repl)
         (m.params, self.ema_params, self.opt_state, loss, per_ray, n_occ
          ) = _train_step(
-            m.params, self.ema_params, self.opt_state, m.occ.occupancy,
-            rays_o, rays_d, jnp.asarray(images), m._next_key(),
+            m.params, self.ema_params, self.opt_state, occupancy,
+            rays_o, rays_d, images_dev, m._next_key(),
             m.cfg, m.rc, m.train_budget, self.optimizer.update, has_alpha,
             self.ema_decay,
         )

@@ -99,8 +99,16 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     parser.add_argument(
         "--distortion", type=str, default="none",
         choices=["none", "noise", "rotation", "scaling", "blurring",
-                 "brightness"],
+                 "brightness", "jpeg"],
     )
+    # robustness suites (reference: --distortion rerun + the checkpoint-variant
+    # epsilon-ball adversarial attack)
+    parser.add_argument("--attack_suite", action="store_true",
+                        help="run the named-attack bit-acc sweep in --test")
+    parser.add_argument("--adv_attack", action="store_true",
+                        help="run the epsilon-ball parameter attack in --test")
+    parser.add_argument("--adv_epsilon", type=float, default=1e-3)
+    parser.add_argument("--adv_steps", type=int, default=100)
     return parser
 
 

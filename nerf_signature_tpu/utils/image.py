@@ -107,4 +107,11 @@ def distortion_layer(key, images, kind="none"):
     if kind == "brightness":
         f = jax.random.uniform(key, (B, 1, 1, 1), minval=0.5, maxval=1.5)
         return images * f
+    if kind == "jpeg":
+        # JPEG-in-the-loop robust training (the reference's experimental
+        # ``utils_wtmk_disen_jpeg`` variant, SURVEY.md §2.7) — fully in-XLA
+        # via the DCT JPEG with a random quality per step
+        from .jpeg import random_diff_jpeg
+
+        return random_diff_jpeg(key, images, low=40, use_dct=True)
     raise ValueError(f"unknown distortion: {kind}")

@@ -1,5 +1,8 @@
-"""Break down the training-step time on the real chip: march / field fwd /
-full fwd / full step, plus key sub-ops."""
+"""Break down the training-step time on the real chip.
+
+All timed programs take their arrays as ARGUMENTS (a closure-captured array
+becomes an embedded constant, which the axon tunnel re-ships every call —
+measured 1.8 s/call artifacts)."""
 
 import sys, os, time
 
@@ -19,15 +22,30 @@ from nerf_signature_tpu.train.trainer import _train_step, make_optimizer
 
 
 def timeit(name, fn, *args, iters=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Times fn(seed_scalar, *args) with a chained scalar so every call is a
+    distinct, data-dependent execution (the axon relay appears to collapse
+    identical execute requests)."""
+    s = jnp.float32(0.0)
+    s = fn(s, *args)
+    jax.block_until_ready(s)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        s = fn(s, *args)
+    jax.block_until_ready(s)
     dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:28s} {dt:8.3f} ms")
+    print(f"{name:28s} {dt:8.3f} ms", flush=True)
     return dt
+
+
+def chained(f):
+    """Wrap a tensor program into a scalar-chained, jitted step."""
+    @jax.jit
+    def g(s, *args):
+        out = f(s, *args)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32) if l.dtype != bool
+                           else l.astype(jnp.float32)) for l in leaves) * 1e-12
+    return g
 
 
 def main():
@@ -40,7 +58,6 @@ def main():
     opt_state = optimizer.init(params)
     ema = jax.tree_util.tree_map(jnp.copy, params)
 
-    occ = init_occupancy_grid(1.0, 128)
     H = 128
     r = (np.arange(H) + 0.5) / H * 2 - 1
     x, y, z = np.meshgrid(r, r, r, indexing="ij")
@@ -56,30 +73,39 @@ def main():
     rays_d = jnp.asarray(dirs, jnp.float32)
     images = jnp.asarray(rng.uniform(0, 1, (n_rays, 3)), jnp.float32)
     aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
-
     near, far = near_far_from_aabb(rays_o, rays_d, aabb, 0.2)
 
-    march = jax.jit(lambda: march_rays(
-        rays_o, rays_d, occupancy, near, far, bound=1.0, dt_gamma=0.0,
-        max_steps=1024, budget=budget, grid_size=128))
-    timeit("march only", march)
+    timeit("march only", chained(lambda s, occ, ro, rd, nr, fr: march_rays(
+        ro + s, rd, occ, nr, fr, bound=1.0, dt_gamma=0.0,
+        max_steps=1024, budget=budget, grid_size=128)),
+        occupancy, rays_o, rays_d, near, far)
 
-    m = march()
-    M = n_rays * budget
+    m = march_rays(rays_o, rays_d, occupancy, near, far, bound=1.0,
+                   dt_gamma=0.0, max_steps=1024, budget=budget, grid_size=128)
     xs = m["xyzs"].reshape(-1, 3)
     ds = m["dirs"].reshape(-1, 3)
-    field = jax.jit(lambda: ngp_field(params, cfg, xs, ds))
-    timeit("field fwd (M=524k)", field)
+    timeit("field fwd (M=524k)",
+           chained(lambda s, p, a, b: ngp_field(p, cfg, a + s, b)),
+           params, xs, ds)
 
     x01 = (xs + 1.0) / 2.0
-    henc = jax.jit(lambda: hash_encode(x01, params["hash_table"],
-                                       cfg.resolutions, cfg.log2_hashmap_size))
-    timeit("hash encode only", henc)
+    timeit("hash encode fwd",
+           chained(lambda s, t, a: hash_encode(a + s, t, cfg.resolutions,
+                                               cfg.log2_hashmap_size)),
+           params["hash_table"], x01)
 
-    render = jax.jit(lambda: render_rays_occ(
-        lambda a, b: ngp_field(params, cfg, a, b), occupancy, rays_o, rays_d,
-        rc, budget=budget, bg_color=1.0))
-    timeit("full render fwd", render)
+    timeit("full render fwd",
+           chained(lambda s, p, occ, ro, rd: render_rays_occ(
+               lambda a, b: ngp_field(p, cfg, a, b), occ, ro + s, rd,
+               rc, budget=budget, bg_color=1.0)),
+           params, occupancy, rays_o, rays_d)
+
+    # gradient of hash encode (gather backward = scatter-add)
+    timeit("hash encode grad",
+           chained(lambda s, t, a: jax.grad(
+               lambda tt: jnp.sum(hash_encode(a + s, tt, cfg.resolutions,
+                                              cfg.log2_hashmap_size) ** 2))(t)),
+           params["hash_table"], x01)
 
     def step(p, e, o, key):
         return _train_step(p, e, o, occupancy, rays_o, rays_d, images, key,
@@ -93,14 +119,8 @@ def main():
     for i in range(iters):
         p, e, o, loss, _, _ = step(p, e, o, jax.random.fold_in(key, i))
     jax.block_until_ready(loss)
-    print(f"{'full train step':28s} {(time.perf_counter()-t0)/iters*1e3:8.3f} ms")
-
-    # Adam-only cost on the hash table
-    opt2 = make_optimizer(1e-2, 30000)
-    os2 = opt2.init(params)
-    g = jax.tree_util.tree_map(jnp.ones_like, params)
-    adam = jax.jit(lambda s: opt2.update(g, s, params))
-    timeit("adam update only", adam, os2)
+    print(f"{'full train step':28s} {(time.perf_counter()-t0)/iters*1e3:8.3f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":

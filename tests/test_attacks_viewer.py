@@ -1,0 +1,102 @@
+"""Tests for attack ops, the attack registry, the viewer camera, and CLIP
+loss gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_signature_tpu.utils.attacks import (
+    ATTACKS,
+    adjust_brightness,
+    adjust_contrast,
+    center_crop,
+    clamp_pixel,
+    jpeg_compress,
+    project_linf,
+    psnr,
+    resize_attack,
+    round_pixel,
+)
+from nerf_signature_tpu.viewer import OrbitCamera
+
+
+def _img(b=2, h=16, w=16):
+    return jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3))
+
+
+class TestAttackOps:
+    def test_round_pixel_quantises(self):
+        x = _img()
+        y = round_pixel(x)
+        lattice = jnp.round(np.asarray(y) * 255) / 255
+        np.testing.assert_allclose(y, lattice, atol=1e-6)
+        # straight-through gradient
+        g = jax.grad(lambda im: jnp.sum(round_pixel(im)))(x)
+        np.testing.assert_allclose(np.asarray(g), 1.0)
+
+    def test_project_linf(self):
+        x, y = _img(), _img() * 0 + 0.5
+        z = project_linf(x, y, radius=2.0)
+        assert float(jnp.abs(z - y).max()) <= 2.0 / 255 + 1e-6
+
+    def test_psnr_identity(self):
+        x = _img()
+        assert float(psnr(x, x)) > 100
+
+    def test_center_crop_zeroes_border(self):
+        x = jnp.ones((1, 16, 16, 3))
+        y = center_crop(x, 0.25)
+        assert float(y[0, 0, 0, 0]) == 0.0
+        assert float(y[0, 8, 8, 0]) == 1.0
+        # kept area ~ 25%
+        frac = float(jnp.mean(y))
+        assert 0.15 < frac < 0.35
+
+    def test_contrast_brightness(self):
+        x = _img()
+        assert float(jnp.std(adjust_contrast(x, 0.5))) < float(jnp.std(x))
+        assert float(jnp.mean(adjust_brightness(x, 0.5))) < float(jnp.mean(x))
+
+    def test_resize_attack_lowpasses(self):
+        x = _img(1, 16, 16)
+        y = resize_attack(x, 0.25)
+        assert y.shape == x.shape
+        assert float(jnp.abs(y - x).mean()) > 0
+
+    def test_registry_runs_all(self):
+        x = _img()
+        key = jax.random.PRNGKey(1)
+        for name, fn in ATTACKS.items():
+            out = fn(key, x)
+            assert out.shape == x.shape, name
+            assert bool(jnp.all(jnp.isfinite(out))), name
+
+
+class TestOrbitCamera:
+    def test_pose_orthonormal(self):
+        cam = OrbitCamera(64, 64, r=2.0)
+        cam.orbit(30, 10)
+        cam.pan(5, 5)
+        cam.scale(1)
+        R = cam.pose[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+    def test_radius_scale(self):
+        cam = OrbitCamera(64, 64, r=2.0)
+        cam.scale(1)
+        assert cam.radius < 2.0
+
+    def test_intrinsics(self):
+        cam = OrbitCamera(100, 80, fovy=60.0)
+        fx, fy, cx, cy = cam.intrinsics
+        assert cx == 50 and cy == 40
+        np.testing.assert_allclose(fy, 40 / np.tan(np.radians(30)), rtol=1e-6)
+
+
+class TestCLIPLossGating:
+    def test_degrades_gracefully_without_weights(self):
+        from nerf_signature_tpu.utils.clip_loss import CLIPLoss
+
+        loss = CLIPLoss(model_name="nonexistent/model")
+        assert not loss.available
+        assert loss(np.zeros((1, 8, 8, 3), np.float32)) == 0.0
