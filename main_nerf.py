@@ -58,8 +58,15 @@ def main():
         trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
                           ema_decay=0.95, metrics=metrics,
                           use_checkpoint=opt.ckpt, eval_interval=50)
-        max_epoch = int(np.ceil(opt.iters / len(train_loader)))
-        trainer.train(train_loader, valid_loader, max_epoch)
+        if opt.steps_per_dispatch > 0:
+            trainer.train_device(
+                train_loader, opt.iters,
+                steps_per_dispatch=opt.steps_per_dispatch,
+            )
+            trainer.evaluate_one_epoch(valid_loader)
+        else:
+            max_epoch = int(np.ceil(opt.iters / len(train_loader)))
+            trainer.train(train_loader, valid_loader, max_epoch)
 
 
 if __name__ == "__main__":

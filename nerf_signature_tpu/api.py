@@ -46,6 +46,47 @@ def _render_occ_clean(params, occupancy, rays_o, rays_d, bg_color, key,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "rc", "budget"))
+def _render_occ_clean_staged(params, occupancy, rays_o_chunks, rays_d_chunks,
+                             bg_color, cfg: NGPConfig, rc: RenderConfig,
+                             budget):
+    """Whole staged render as ONE program: ``lax.map`` over ray chunks.
+
+    rays_*_chunks: [n_chunks, chunk, 3].  One dispatch per image instead of
+    one per chunk (per-call dispatch latency would otherwise dominate under
+    remote PJRT; also lets XLA pipeline chunks)."""
+    field = lambda x, d: ngp_field(params, cfg, x, d)
+
+    def one(args):
+        ro, rd = args
+        out = render_rays_occ(
+            field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color
+        )
+        return out["image"], out["depth"]
+
+    images, depths = jax.lax.map(one, (rays_o_chunks, rays_d_chunks))
+    return images.reshape(-1, 3), depths.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rc", "budget", "use_msg"))
+def _render_occ_wtmk_staged(backbone, trainable, occupancy, rays_o_chunks,
+                            rays_d_chunks, message, bg_color,
+                            cfg: WatermarkConfig, rc: RenderConfig, budget,
+                            use_msg):
+    msg = message if use_msg else None
+    field = lambda x, d: wtmk_field(backbone, trainable, cfg, x, d, msg)
+
+    def one(args):
+        ro, rd = args
+        out = render_rays_occ(
+            field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color
+        )
+        return out["image"], out["depth"]
+
+    images, depths = jax.lax.map(one, (rays_o_chunks, rays_d_chunks))
+    return images.reshape(-1, 3), depths.reshape(-1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "rc", "budget", "use_perturb", "use_msg")
 )
@@ -101,6 +142,11 @@ class _BaseModel:
     def density_fn(self, x):
         raise NotImplementedError
 
+    def reset_extra_state(self):
+        """Zero the grid / counters (ref ``nerf/renderer.py:113-123``)."""
+        self.occ = init_occupancy_grid(self.rc.bound, self.rc.grid_size)
+        self.mean_count = 0
+
     def update_extra_state(self, decay=0.95):
         """Ref ``nerf/renderer.py:444-538``; full update for the first 16
         iters, partial after."""
@@ -145,18 +191,28 @@ class _BaseModel:
             pad = (-N) % max_ray_batch
             ro = jnp.concatenate([rays_o, jnp.ones((pad, 3))], 0) if pad else rays_o
             rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))], 0) if pad else rays_d
-            bgs = jnp.broadcast_to(bg, (N + pad, 3)) if bg.shape[0] > 1 else bg
-            images, depths = [], []
-            for h in range(0, N + pad, max_ray_batch):
-                bg_c = bgs[h : h + max_ray_batch] if bgs.shape[0] > 1 else bg
-                out = self._render_chunk(
-                    ro[h : h + max_ray_batch], rd[h : h + max_ray_batch],
-                    message, bg_c, perturb, budget,
+            if bg.shape[0] == 1 and not perturb and self.use_occ:
+                # fused path: the whole staged render is one lax.map program
+                chunks = (N + pad) // max_ray_batch
+                image, depth = self._render_staged(
+                    ro.reshape(chunks, max_ray_batch, 3),
+                    rd.reshape(chunks, max_ray_batch, 3),
+                    message, bg, budget,
                 )
-                images.append(out["image"])
-                depths.append(out["depth"])
-            image = jnp.concatenate(images, 0)[:N]
-            depth = jnp.concatenate(depths, 0)[:N]
+                image, depth = image[:N], depth[:N]
+            else:
+                bgs = jnp.broadcast_to(bg, (N + pad, 3)) if bg.shape[0] > 1 else bg
+                images, depths = [], []
+                for h in range(0, N + pad, max_ray_batch):
+                    bg_c = bgs[h : h + max_ray_batch] if bgs.shape[0] > 1 else bg
+                    out = self._render_chunk(
+                        ro[h : h + max_ray_batch], rd[h : h + max_ray_batch],
+                        message, bg_c, perturb, budget,
+                    )
+                    images.append(out["image"])
+                    depths.append(out["depth"])
+                image = jnp.concatenate(images, 0)[:N]
+                depth = jnp.concatenate(depths, 0)[:N]
             results = {"image": image, "depth": depth}
         else:
             out = self._render_chunk(rays_o, rays_d, message, bg, perturb, budget)
@@ -205,6 +261,15 @@ class NGPModel(_BaseModel):
             self.cfg, self.rc, perturb,
         )
 
+    def _render_staged(self, ro_chunks, rd_chunks, message, bg, budget):
+        if not self.use_occ:
+            # fixed-step path keeps the python chunk loop
+            raise NotImplementedError
+        return _render_occ_clean_staged(
+            self.params, self.occ.occupancy, ro_chunks, rd_chunks, bg,
+            self.cfg, self.rc, budget,
+        )
+
 
 class WatermarkModel(_BaseModel):
     """Watermarked model: frozen backbone + trainable (msg_tables, decoder).
@@ -251,4 +316,16 @@ class WatermarkModel(_BaseModel):
             self.backbone, self.trainable, self.occ.occupancy, rays_o, rays_d,
             msg, bg_color, self._next_key(), self.wcfg, self.rc, budget,
             perturb, use_msg,
+        )
+
+    def _render_staged(self, ro_chunks, rd_chunks, message, bg, budget):
+        use_msg = message is not None
+        msg = (
+            jnp.asarray(message, jnp.int32)
+            if use_msg
+            else jnp.zeros((self.wcfg.message_dim,), jnp.int32)
+        )
+        return _render_occ_wtmk_staged(
+            self.backbone, self.trainable, self.occ.occupancy, ro_chunks,
+            rd_chunks, msg, bg, self.wcfg, self.rc, budget, use_msg,
         )

@@ -120,6 +120,66 @@ def hidden_decoder_apply(params, cfg: HiddenDecoderConfig, x):
 
 
 @dataclasses.dataclass(frozen=True)
+class HiddenDecoderSingleConfig:
+    """Single-view decoder (ref ``HiddenDecoder``, ``hidden_models.py:77-102``):
+    same conv stack but with ``ConvBNRelu_original`` — BatchNorm WITH running
+    statistics.  In JAX the running stats are explicit state threaded by the
+    caller (pure function, no mutation)."""
+
+    num_blocks: int = 7
+    num_bits: int = 16
+    channels: int = 64
+    bn_eps: float = 1e-3
+    momentum: float = 0.1
+
+
+def init_hidden_decoder_single(key, cfg: HiddenDecoderSingleConfig):
+    keys = jax.random.split(key, cfg.num_blocks + 3)
+    blocks, state = [], []
+    cin = 3
+    chans = [cfg.channels] * cfg.num_blocks + [cfg.num_bits]
+    for i, cout in enumerate(chans):
+        blocks.append({"conv": _conv_init(keys[i], 3, cin, cout),
+                       "bn": _bn_init(cout)})
+        state.append({"mean": jnp.zeros((cout,)), "var": jnp.ones((cout,))})
+        cin = cout
+    bound = 1.0 / np.sqrt(cfg.num_bits)
+    kw, kb = jax.random.split(keys[-1])
+    linear = {
+        "w": jax.random.uniform(kw, (cfg.num_bits, cfg.num_bits),
+                                minval=-bound, maxval=bound),
+        "b": jax.random.uniform(kb, (cfg.num_bits,), minval=-bound,
+                                maxval=bound),
+    }
+    return {"blocks": blocks, "linear": linear}, {"bn": state}
+
+
+def hidden_decoder_single_apply(params, state, cfg, x, train=False):
+    """x [B, H, W, 3] -> (logits [B, num_bits], new_state).
+
+    train=True normalises by batch stats and EMA-updates the running stats;
+    train=False uses the running stats (torch BatchNorm semantics)."""
+    new_bn = []
+    for p, s in zip(params["blocks"], state["bn"]):
+        y = _conv3x3(p["conv"], x)
+        if train:
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.var(y, axis=(0, 1, 2))
+            new_bn.append({
+                "mean": (1 - cfg.momentum) * s["mean"] + cfg.momentum * mean,
+                "var": (1 - cfg.momentum) * s["var"] + cfg.momentum * var,
+            })
+        else:
+            mean, var = s["mean"], s["var"]
+            new_bn.append(s)
+        y = (y - mean) * jax.lax.rsqrt(var + cfg.bn_eps)
+        x = jax.nn.gelu(y * p["bn"]["scale"] + p["bn"]["bias"])
+    x = jnp.mean(x, axis=(1, 2))
+    logits = x @ params["linear"]["w"] + params["linear"]["b"]
+    return logits, {"bn": new_bn}
+
+
+@dataclasses.dataclass(frozen=True)
 class HiddenEncoderConfig:
     num_blocks: int = 4
     num_bits: int = 16

@@ -38,11 +38,17 @@ class WatermarkConfig:
     msg_resolution: int = 2048
     msg_log2_hashmap_size: int = 19
     finetune_decoder: bool = False
+    # legacy whole-image extraction (ref ``nerf/utils_wtmk.py:528-640``): the
+    # decoder reads all message_dim bits from ONE whole rendered image instead
+    # of 1 bit per key block
+    whole_image: bool = False
 
     @property
     def decoder(self) -> HiddenDecoderConfig:
         return HiddenDecoderConfig(
-            num_blocks=8, num_bits=1, redundancy=1,
+            num_blocks=8,
+            num_bits=self.message_dim if self.whole_image else 1,
+            redundancy=1,
             input_ch=self.n_views * 3, channels=64,
         )
 

@@ -1,0 +1,126 @@
+"""Fully on-device training loop: K optimisation steps per dispatch.
+
+The reference dispatches one CUDA-graphless step per Python iteration with
+several host syncs per step (SURVEY.md §3.1: ``step_counter.item()``,
+``loss.item()``); the TPU-native design compiles the WHOLE loop — pose
+choice, pixel sampling, ray generation, march, field, composite, loss, Adam,
+EMA, and the periodic occupancy-grid maintenance — into ONE ``lax.scan``
+program.  Zero host round-trips per step; the dataset (poses + images) lives
+in HBM (the ``--preload`` flag's true TPU meaning).
+
+This also defines the honest benchmark protocol under remote-dispatch
+environments: per-call Execute latency measures the transport, not the
+framework.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.ngp import ngp_field, ngp_density
+from ..ops.grid import OccupancyGrid, update_occupancy_grid
+from ..render.renderer import render_rays_occ
+
+
+def rays_from_pixels(pose, intrinsics, pix, H, W):
+    """Device-side ``get_rays`` for sampled flat pixel indices.
+
+    pose: [4, 4]; intrinsics: (fx, fy, cx, cy); pix: [N] int in [0, H*W).
+    Mirrors the host version in ``data/rays.py`` (ref ``nerf/utils.py:54-139``).
+    """
+    fx, fy, cx, cy = intrinsics
+    i = (pix % W).astype(jnp.float32) + 0.5
+    j = (pix // W).astype(jnp.float32) + 0.5
+    xs = (i - cx) / fx
+    ys = (j - cy) / fy
+    dirs = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "rc", "budget", "opt_update", "has_alpha",
+                     "ema_decay", "n_steps", "num_rays", "H", "W",
+                     "update_interval", "density_thresh", "grid_full_until"),
+    donate_argnums=(0, 1, 2, 3),
+)
+def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
+                      images, intrinsics, key, step0, cfg, rc, budget,
+                      opt_update, has_alpha, ema_decay, n_steps, num_rays,
+                      H, W, update_interval=16, density_thresh=0.01,
+                      grid_full_until=16):
+    """Run ``n_steps`` training steps on device.
+
+    poses: [P, 4, 4]; images: [P, H*W, C] (preloaded); intrinsics: [4].
+    Returns (params, ema, opt_state, occ, losses [n_steps], mean_occupied).
+    """
+    P = poses.shape[0]
+    intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
+
+    def maybe_update_grid(occ, params, k, step):
+        def do_update(occ):
+            density_fn = lambda x: ngp_density(params, cfg, x)["sigma"]
+            full = occ.iter_density < grid_full_until
+
+            def upd(full_flag):
+                return update_occupancy_grid(
+                    occ, k, density_fn, bound=rc.bound, grid_size=rc.grid_size,
+                    density_scale=rc.density_scale,
+                    density_thresh=density_thresh, full=full_flag,
+                )
+
+            return jax.lax.cond(full, lambda: upd(True), lambda: upd(False))
+
+        return jax.lax.cond(
+            step % update_interval == 0, do_update, lambda o: o, occ
+        )
+
+    def body(carry, inp):
+        params, ema, opt_state, occ = carry
+        k, step = inp
+        kg, kp, ki, kbg, kpert = jax.random.split(k, 5)
+
+        occ = maybe_update_grid(occ, params, kg, step)
+
+        pidx = jax.random.randint(kp, (), 0, P)
+        pix = jax.random.randint(ki, (num_rays,), 0, H * W)
+        rays_o, rays_d = rays_from_pixels(poses[pidx], intr, pix, H, W)
+        img = images[pidx, pix]  # [N, C]
+
+        if has_alpha:
+            bg = jax.random.uniform(kbg, (num_rays, 3))
+            gt = img[..., :3] * img[..., 3:] + bg * (1.0 - img[..., 3:])
+        else:
+            bg = jnp.ones((1, 3))
+            gt = img
+
+        def loss_fn(p):
+            field = lambda a, b: ngp_field(p, cfg, a, b)
+            out = render_rays_occ(
+                field, occ.occupancy, rays_o, rays_d, rc, budget=budget,
+                bg_color=bg, perturb_key=kpert,
+            )
+            return jnp.mean((out["image"] - gt) ** 2), out["n_occupied"]
+
+        (loss, n_occ), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt_update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_decay is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema, params
+            )
+        else:
+            ema = params
+        return (params, ema, opt_state, occ), (loss, jnp.mean(n_occ))
+
+    keys = jax.random.split(key, n_steps)
+    steps = step0 + jnp.arange(n_steps)
+    (params, ema, opt_state, occ), (losses, occ_means) = jax.lax.scan(
+        body, (params, ema, opt_state, occ), (keys, steps)
+    )
+    return params, ema, opt_state, occ, losses, jnp.mean(occ_means)

@@ -259,6 +259,53 @@ class Trainer:
         self.stats["loss"].append(avg)
         return avg
 
+    def train_device(self, loader, max_steps=None, steps_per_dispatch=256):
+        """Fully on-device training (``train/device_loop.py``): K steps per
+        dispatch, dataset preloaded to HBM.  Uniform pixel sampling only
+        (error-map importance sampling needs host state)."""
+        from .device_loop import device_train_loop
+
+        m = self.model
+        max_steps = max_steps or self.opt.iters
+        P = len(loader.poses)
+        C = loader.images.shape[-1]
+        poses = jnp.asarray(np.asarray(loader.poses))
+        images = jnp.asarray(
+            np.asarray(loader.images, np.float32).reshape(P, -1, C)
+        )
+        intr = jnp.asarray(np.asarray(loader.intrinsics, np.float32))
+        H, W = loader.H, loader.W
+
+        if m.use_occ:
+            self.model.mark_untrained_grid(loader.poses, loader.intrinsics)
+
+        start = time.time()
+        while self.global_step < max_steps:
+            k = min(steps_per_dispatch, max_steps - self.global_step)
+            (m.params, self.ema_params, self.opt_state, m.occ, losses,
+             mean_occ) = device_train_loop(
+                m.params, self.ema_params, self.opt_state, m.occ, poses,
+                images, intr, m._next_key(), self.global_step, m.cfg, m.rc,
+                m.train_budget, self.optimizer.update, C == 4,
+                self.ema_decay, k, self.opt.num_rays, H, W,
+                update_interval=getattr(self.opt, "update_extra_interval", 16),
+                density_thresh=m.density_thresh,
+            )
+            losses = np.asarray(losses)
+            self.global_step += k
+            self.stats["loss"].append(float(losses.mean()))
+            rays_s = k * self.opt.num_rays / max(time.time() - start, 1e-9)
+            self.log(
+                f"[device loop] step={self.global_step}/{max_steps} "
+                f"loss={losses[-1]:.6f} mean_occ={float(mean_occ):.1f} "
+                f"({rays_s / 1e6:.2f}M rays/s)"
+            )
+            start = time.time()
+            if self.workspace:
+                self.epoch += 1
+                self.save_checkpoint(full=True)
+                prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
+
     def train(self, train_loader, valid_loader=None, max_epochs=1):
         if self.model.use_occ and getattr(train_loader, "poses", None) is not None:
             self.model.mark_untrained_grid(

@@ -94,8 +94,9 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
         blocks_dist = distortion_layer(key, blocks, distortion)
         decoded = hidden_decoder_apply(
             tr["decoder"], wcfg.decoder, normalize_img(blocks_dist)
-        )  # [D, 1]
-        lossw = loss_w_fn(decoded, message.astype(jnp.float32)[:, None])
+        )  # [D, 1] (block mode) or [1, D] (whole-image mode)
+        lossw = loss_w_fn(decoded.reshape(-1),
+                          message.astype(jnp.float32).reshape(-1))
 
         field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
         out = render_rays_occ(
@@ -197,14 +198,24 @@ class WatermarkTrainer:
         return self.rng.integers(0, 2, self.message_dim).astype(np.int32)
 
     # ----------------------------------------------------------------- train
+    def _wm_rays(self, wm):
+        """Block ray bundles, or (legacy whole-image mode,
+        ``nerf/utils_wtmk.py``) a strided whole-key-image bundle."""
+        if not self.model.wcfg.whole_image:
+            return wm["rays_o_block"], wm["rays_d_block"]
+        ro, rd = wm["rays_o"], wm["rays_d"]  # [1, H, W, 3]
+        s = max(1, int(np.ceil(max(ro.shape[1], ro.shape[2]) / 96)))
+        return ro[:, ::s, ::s], rd[:, ::s, ::s]
+
     def train_step_data(self, data, message):
         m = self.model
         wm = data["watermark"]
         ct = data["content"]
+        ro_b, rd_b = self._wm_rays(wm)
         (m.trainable, self.opt_state, loss, lossw, lossi, decoded
          ) = _wtmk_train_step(
             m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
-            jnp.asarray(wm["rays_o_block"]), jnp.asarray(wm["rays_d_block"]),
+            jnp.asarray(ro_b), jnp.asarray(rd_b),
             jnp.asarray(ct["rays_o"]).reshape(-1, 3),
             jnp.asarray(ct["rays_d"]).reshape(-1, 3),
             jnp.asarray(ct["images"]).reshape(-1, 3),
@@ -278,9 +289,10 @@ class WatermarkTrainer:
     # ------------------------------------------------------------------ eval
     def eval_blocks(self, wm, message, distortion=None):
         m = self.model
+        ro_b, rd_b = self._wm_rays(wm)
         blocks, decoded = _wtmk_decode_blocks(
             m.backbone, m.trainable, m.occ.occupancy,
-            jnp.asarray(wm["rays_o_block"]), jnp.asarray(wm["rays_d_block"]),
+            jnp.asarray(ro_b), jnp.asarray(rd_b),
             jnp.asarray(message), m._next_key(), m.wcfg, m.rc,
             m.infer_budget, distortion or self.distortion,
         )

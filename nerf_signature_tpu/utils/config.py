@@ -76,6 +76,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--devices", type=int, default=0,
                         help="shard rays over N devices (0 = all available)")
     parser.add_argument("--mesh_resolution", type=int, default=256)
+    parser.add_argument("--steps_per_dispatch", type=int, default=0,
+                        help=">0: fully on-device lax.scan training loop "
+                             "with K steps per dispatch (uniform sampling)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (debug)")
     return parser
@@ -103,6 +106,8 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     )
     # robustness suites (reference: --distortion rerun + the checkpoint-variant
     # epsilon-ball adversarial attack)
+    parser.add_argument("--whole_image_wm", action="store_true",
+                        help="legacy whole-image extraction (utils_wtmk.py)")
     parser.add_argument("--attack_suite", action="store_true",
                         help="run the named-attack bit-acc sweep in --test")
     parser.add_argument("--adv_attack", action="store_true",
