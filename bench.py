@@ -22,6 +22,7 @@ scene-like occupancy (~6.5% cells), headline shapes (4096 rays/step, budget
 """
 
 import json
+import os
 import time
 
 import jax
@@ -29,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 4.0e5  # 2x A100 torch-ngp estimate (see docstring)
+N_STEPS = int(os.environ.get("BENCH_STEPS", "32"))  # per dispatch
 
 
 def main():
@@ -44,7 +46,7 @@ def main():
     n_rays, budget = 4096, 128
     H = W = 256
     n_poses = 16
-    n_steps = 256
+    n_steps = N_STEPS
 
     params = init_ngp_params(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(1e-2, 30000)

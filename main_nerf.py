@@ -4,6 +4,7 @@ Drop-in analog of the reference's ``main_nerf.py`` with the same flag
 surface (see ``nerf_signature_tpu/utils/config.py``)."""
 
 import argparse
+import os
 
 import numpy as np
 
@@ -58,6 +59,10 @@ def main():
         trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
                           ema_decay=0.95, metrics=metrics,
                           use_checkpoint=opt.ckpt, eval_interval=50)
+        if opt.profile:
+            import jax.profiler
+            os.makedirs(f"{opt.workspace}/profile", exist_ok=True)
+            jax.profiler.start_trace(f"{opt.workspace}/profile")
         if opt.steps_per_dispatch > 0:
             trainer.train_device(
                 train_loader, opt.iters,
@@ -67,6 +72,8 @@ def main():
         else:
             max_epoch = int(np.ceil(opt.iters / len(train_loader)))
             trainer.train(train_loader, valid_loader, max_epoch)
+        if opt.profile:
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

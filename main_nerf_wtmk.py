@@ -42,6 +42,7 @@ def main():
         message_dim=opt.message_dim,
         n_views=opt.n_views,
         whole_image=opt.whole_image_wm,
+        finetune_decoder=opt.finetune_decoder,
     )
     model = WatermarkModel(
         wcfg, cuda_ray=opt.cuda_ray, min_near=opt.min_near,

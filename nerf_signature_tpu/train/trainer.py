@@ -185,6 +185,18 @@ class Trainer:
             with open(self.log_path, "a") as f:
                 print(*args, file=f)
 
+    def log_metrics(self, **scalars):
+        """Append one JSON line of scalar telemetry (the reference writes
+        tensorboardX scalars, ``utils_wtmk_disen.py:1200-1204``; a JSONL file
+        needs no extra deps and is trivially plottable)."""
+        if not self.workspace:
+            return
+        import json
+
+        path = os.path.join(self.workspace, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"step": self.global_step, **scalars}) + "\n")
+
     def _adapt_budget(self, n_occ):
         """mean_count analog: fit the static march budget to the scene
         (power-of-two buckets, hysteresis, ref ``raymarching.py:198-216``)."""
@@ -234,6 +246,7 @@ class Trainer:
     def train_one_epoch(self, loader):
         m = self.model
         total_loss, nsteps = 0.0, 0
+        t_epoch = time.time()
         self.error_map = getattr(loader, "error_map", None)
         update_interval = getattr(self.opt, "update_extra_interval", 16)
         for data in loader:
@@ -257,6 +270,12 @@ class Trainer:
                 break
         avg = total_loss / max(nsteps, 1)
         self.stats["loss"].append(avg)
+        dt = max(time.time() - t_epoch, 1e-9)
+        self.log_metrics(
+            loss=avg,
+            rays_per_sec=nsteps * self.opt.num_rays / dt,
+            train_budget=m.train_budget,
+        )
         return avg
 
     def train_device(self, loader, max_steps=None, steps_per_dispatch=256):
@@ -300,6 +319,8 @@ class Trainer:
                 f"loss={losses[-1]:.6f} mean_occ={float(mean_occ):.1f} "
                 f"({rays_s / 1e6:.2f}M rays/s)"
             )
+            self.log_metrics(loss=float(losses.mean()), rays_per_sec=rays_s,
+                             mean_occ=float(mean_occ))
             start = time.time()
             if self.workspace:
                 self.epoch += 1
@@ -409,8 +430,18 @@ class Trainer:
                     np.stack(frames), fps=25, quality=8,
                     macro_block_size=1,
                 )
-            except Exception as e:  # ffmpeg may be absent
-                self.log(f"[test] video write skipped: {e}")
+            except Exception:  # no ffmpeg backend in the image -> GIF
+                try:
+                    from PIL import Image
+                    imgs = [Image.fromarray(f) for f in frames]
+                    imgs[0].save(
+                        os.path.join(save_path, f"{self.name}_rgb.gif"),
+                        save_all=True, append_images=imgs[1:], duration=40,
+                        loop=0,
+                    )
+                    self.log("[test] mp4 backend absent; wrote GIF instead")
+                except Exception as e:
+                    self.log(f"[test] video write skipped: {e}")
         return frames
 
     # ------------------------------------------------------------ checkpoint

@@ -155,6 +155,13 @@ class WatermarkTrainer:
         self.message_dim = opt.message_dim
 
         self.optimizer = make_optimizer(opt.lr, opt.iters)
+        if model.wcfg.finetune_decoder:
+            # ref network_wtmk_tcnn.py:90-95,179-184: msg_encoder frozen too,
+            # only the decoder trains
+            self.optimizer = optax.masked(
+                self.optimizer,
+                {"msg_tables": False, "decoder": True},
+            )
         self.opt_state = self.optimizer.init(model.trainable)
 
         self.epoch = 0
@@ -193,6 +200,15 @@ class WatermarkTrainer:
         if self.log_path:
             with open(self.log_path, "a") as f:
                 print(*args, file=f)
+
+    def log_metrics(self, **scalars):
+        if not self.workspace:
+            return
+        import json
+
+        path = os.path.join(self.workspace, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"step": self.global_step, **scalars}) + "\n")
 
     def random_message(self):
         return self.rng.integers(0, 2, self.message_dim).astype(np.int32)
@@ -239,6 +255,8 @@ class WatermarkTrainer:
         self.stats["loss"].append(tot / max(n, 1))
         self.stats["lossw"].append(totw / max(n, 1))
         self.stats["lossi"].append(toti / max(n, 1))
+        self.log_metrics(loss=tot / max(n, 1), lossw=totw / max(n, 1),
+                         lossi=toti / max(n, 1))
         return tot / max(n, 1), totw / max(n, 1), toti / max(n, 1)
 
     def train(self, train_loader, test_image_loader=None,

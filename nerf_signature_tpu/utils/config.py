@@ -81,6 +81,9 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "with K steps per dispatch (uniform sampling)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (debug)")
+    parser.add_argument("--profile", action="store_true",
+                        help="dump a jax.profiler trace of the first training "
+                             "steps to <workspace>/profile")
     return parser
 
 
@@ -108,6 +111,8 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     # epsilon-ball adversarial attack)
     parser.add_argument("--whole_image_wm", action="store_true",
                         help="legacy whole-image extraction (utils_wtmk.py)")
+    parser.add_argument("--finetune_decoder", action="store_true",
+                        help="freeze msg encoder too; train only the decoder")
     parser.add_argument("--attack_suite", action="store_true",
                         help="run the named-attack bit-acc sweep in --test")
     parser.add_argument("--adv_attack", action="store_true",
