@@ -159,13 +159,18 @@ class NeRFDatasetDisen:
             self.train_images = None
 
         # ---- secret key material ----
+        # n_views > 1: the decoder reads the same secret blocks rendered from
+        # n_views key poses, channel-concatenated (the multi-view decoder,
+        # ref ``HiddenDecoder_multi_views`` input_ch = n_views*3; the
+        # reference's own n_views>1 data path is vestigial/broken — this is a
+        # working redesign).  Block ray bundles: [D, V, bh, bw, 3].
         if type in ("train", "test"):
+            V = max(1, n_views)
             if keyposes_dir is None:
                 if use_existset:
-                    wp = self.poses[0:1]
+                    wp = np.repeat(self.poses[0:1], V, axis=0)
                 else:
-                    wp = rand_poses(self.rng, n_views if type == "train" else 1,
-                                    radius=self.radius)[:1]
+                    wp = rand_poses(self.rng, V, radius=self.radius)
                 self.watermark_poses = wp
                 if keyposes_save_dir is not None:
                     if os.path.exists(keyposes_save_dir):
@@ -173,19 +178,27 @@ class NeRFDatasetDisen:
                     np.save(keyposes_save_dir, wp)
             else:
                 self.watermark_poses = np.load(keyposes_dir)
+                V = self.watermark_poses.shape[0]
 
             rays = get_rays(self.watermark_poses, self.intrinsics, self.H,
                             self.W, -1)
-            img = self._render_rays(rays["rays_o"][0], rays["rays_d"][0])
-            self.watermark_images = img.reshape(1, self.H, self.W, 3)
+            imgs = np.stack([
+                self._render_rays(rays["rays_o"][v], rays["rays_d"][v]
+                                  ).reshape(self.H, self.W, 3)
+                for v in range(V)
+            ])  # [V, H, W, 3]
+            self.watermark_images = imgs[:1]  # view 0 keeps the old API
+            self.watermark_images_views = imgs
             self.rays = {
-                "rays_o": rays["rays_o"].reshape(1, self.H, self.W, 3),
-                "rays_d": rays["rays_d"].reshape(1, self.H, self.W, 3),
+                "rays_o": rays["rays_o"].reshape(V, self.H, self.W, 3),
+                "rays_d": rays["rays_d"].reshape(V, self.H, self.W, 3),
             }
 
             if keyblocks_dir is None:
+                # blocks are scored/selected on view 0 (the reference scores
+                # its single key image; provider_wtmk.py:469-477)
                 coords, bh, bw = select_key_blocks(
-                    self.watermark_images[0], num_rows, num_cols, message_dim
+                    imgs[0], num_rows, num_cols, message_dim
                 )
                 self.block_coordinates = coords
                 if keyblocks_save_dir is not None:
@@ -200,12 +213,20 @@ class NeRFDatasetDisen:
             blocks, ro_b, rd_b = [], [], []
             for i in range(message_dim):
                 x0, y0, x1, y1 = self.block_coordinates[i]
-                blocks.append(self.watermark_images[0, x0:x1, y0:y1])
-                ro_b.append(self.rays["rays_o"][0, x0:x1, y0:y1])
-                rd_b.append(self.rays["rays_d"][0, x0:x1, y0:y1])
-            self.images_block = np.stack(blocks)          # [D, bh, bw, 3]
-            self.rays_o_block = np.stack(ro_b)
-            self.rays_d_block = np.stack(rd_b)
+                blocks.append(imgs[:, x0:x1, y0:y1])               # [V,bh,bw,3]
+                ro_b.append(self.rays["rays_o"][:, x0:x1, y0:y1])
+                rd_b.append(self.rays["rays_d"][:, x0:x1, y0:y1])
+            images_block_views = np.stack(blocks)      # [D, V, bh, bw, 3]
+            self.images_block_views = images_block_views
+            self.images_block = images_block_views[:, 0]  # [D, bh, bw, 3]
+            rays_o_views = np.stack(ro_b)              # [D, V, bh, bw, 3]
+            rays_d_views = np.stack(rd_b)
+            if V == 1:
+                self.rays_o_block = rays_o_views[:, 0]
+                self.rays_d_block = rays_d_views[:, 0]
+            else:
+                self.rays_o_block = rays_o_views
+                self.rays_d_block = rays_d_views
             self.patch_H, self.patch_W = bh, bw
         else:
             # test_image / test_image_testviews: content-view renders

@@ -19,11 +19,11 @@ import dataclasses
 from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
+
 
 from ..ops.activation import trunc_exp
 from ..ops.hashenc import hash_encode
-from ..ops.sh import sh_encode
+
 from .hidden import HiddenDecoderConfig, init_hidden_decoder
 from .message import init_msg_tables, msg_effective_table
 from .mlp import mlp_apply

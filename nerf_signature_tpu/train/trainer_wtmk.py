@@ -64,14 +64,35 @@ def make_loss_w(kind, temp=10.0):
 
 def _render_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
                    message, wcfg, rc, budget):
-    """rays_*_b: [D, bh, bw, 3] -> rendered blocks [D, bh, bw, 3]."""
-    D, bh, bw, _ = rays_o_b.shape
+    """Render the key blocks with the message embedded.
+
+    rays_*_b: [D, bh, bw, 3] (single view) or [D, V, bh, bw, 3] (multi-view);
+    returns decoder-ready blocks [D, bh, bw, 3] or [D, bh, bw, V*3]."""
     field = lambda x, d: wtmk_field(backbone, trainable, wcfg, x, d, message)
     out = render_rays_occ(
         field, occupancy, rays_o_b.reshape(-1, 3), rays_d_b.reshape(-1, 3),
         rc, budget=budget, bg_color=1.0,
     )
-    return jnp.clip(out["image"].reshape(D, bh, bw, 3), 0.0, 1.0)
+    img = jnp.clip(out["image"].reshape(*rays_o_b.shape), 0.0, 1.0)
+    if img.ndim == 5:  # [D, V, bh, bw, 3] -> channel-concat views
+        D, V, bh, bw, _ = img.shape
+        img = jnp.transpose(img, (0, 2, 3, 1, 4)).reshape(D, bh, bw, V * 3)
+    return img
+
+
+def _distort_and_normalize(key, blocks, kind):
+    """Distort + ImageNet-normalise; multi-view blocks [D, bh, bw, V*3] are
+    distorted/normalised per view."""
+    C = blocks.shape[-1]
+    if C == 3:
+        return normalize_img(distortion_layer(key, blocks, kind))
+    D, bh, bw, _ = blocks.shape
+    V = C // 3
+    x = blocks.reshape(D, bh, bw, V, 3)
+    x = jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(D * V, bh, bw, 3)
+    x = normalize_img(distortion_layer(key, x, kind))
+    x = x.reshape(D, V, bh, bw, 3)
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(D, bh, bw, C)
 
 
 @functools.partial(
@@ -91,9 +112,9 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
             backbone, tr, occupancy, rays_o_b, rays_d_b, message,
             wcfg, rc, budget,
         )
-        blocks_dist = distortion_layer(key, blocks, distortion)
         decoded = hidden_decoder_apply(
-            tr["decoder"], wcfg.decoder, normalize_img(blocks_dist)
+            tr["decoder"], wcfg.decoder,
+            _distort_and_normalize(key, blocks, distortion),
         )  # [D, 1] (block mode) or [1, D] (whole-image mode)
         lossw = loss_w_fn(decoded.reshape(-1),
                           message.astype(jnp.float32).reshape(-1))
@@ -125,9 +146,9 @@ def _wtmk_decode_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
         backbone, trainable, occupancy, rays_o_b, rays_d_b, message,
         wcfg, rc, budget,
     )
-    blocks_dist = distortion_layer(key, blocks, distortion)
     decoded = hidden_decoder_apply(
-        trainable["decoder"], wcfg.decoder, normalize_img(blocks_dist)
+        trainable["decoder"], wcfg.decoder,
+        _distort_and_normalize(key, blocks, distortion),
     )
     return blocks, decoded
 
