@@ -59,6 +59,36 @@ def init_hash_table(key, n_levels, n_features, log2_hashmap_size, dtype=jnp.floa
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _make_gather_rows(T, F):
+    """Row gather ``table[idx]`` with an asymmetric custom VJP.
+
+    Measured on v5e (scripts_dev/{gather,scatter}_bench.py at the headline
+    67M-element shape): the fastest FORWARD is a row gather (412 ms vs
+    1358 ms for per-feature scalar gathers), but XLA's native gradient of a
+    row gather is a row scatter-add (4079 ms) — 3x slower than per-feature
+    scalar scatter-adds (1373 ms).  This custom_vjp pairs the winning layout
+    of each direction."""
+
+    @jax.custom_vjp
+    def gather_rows(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], idx
+
+    def bwd(idx, ct):
+        cols = []
+        for f_ in range(F):
+            acc = jnp.zeros((T,), ct.dtype)
+            acc = acc.at[idx].add(ct[..., f_])
+            cols.append(acc)
+        return jnp.stack(cols, -1), None
+
+    gather_rows.defvjp(fwd, bwd)
+    return gather_rows
+
+
 def hash_coords(coords, log2_hashmap_size):
     """Spatial hash of integer corner coords (uint32), ref ``hash_encoding.py:11-22``.
 
@@ -101,9 +131,16 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size, resolutions_key)
         jnp.arange(L, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
     )[:, None]
 
-    # static corner loop: accumulate weight * gathered feature, [L, M] each
-    flat = [table[:, f_] for f_ in range(F)]  # F views of [L * 2**S]
-    acc = [jnp.zeros((L, M), table.dtype) for _ in range(F)]
+    # static corner loop: accumulate weight * gathered feature ROW.  One row
+    # gather ``table[idx] -> [L, M, F]`` per corner beats per-feature scalar
+    # gathers 3.3x on v5e (scripts_dev/gather_bench.py: 412 ms vs 1358 ms at
+    # the headline 67M-element shape) — the gather engine fetches both
+    # features of a row in one pass, and XLA fuses the weight multiply, so
+    # the [L, M, F] intermediate is never materialised in tiled form.  The
+    # BACKWARD uses per-feature scalar scatters instead (see
+    # ``_make_gather_rows``).
+    gather_rows = _make_gather_rows(table.shape[0], F)
+    acc = jnp.zeros((L, M, F), table.dtype)
     for (di, dj, dk) in _CORNERS:
         idx = _hash3(
             cell[0] + jnp.uint32(di),
@@ -117,12 +154,10 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size, resolutions_key)
             * (w[1] if dj else 1.0 - w[1])
             * (w[2] if dk else 1.0 - w[2])
         )
-        for f_ in range(F):
-            acc[f_] = acc[f_] + cw * flat[f_][idx]
+        acc = acc + cw[..., None] * gather_rows(table, idx)
 
-    # [F, L, M] -> [M, L, F] -> [M, L*F] (level-major like torch's concat)
-    out = jnp.stack(acc, axis=0)
-    return jnp.transpose(out, (2, 1, 0)).reshape(M, L * F)
+    # [L, M, F] -> [M, L, F] -> [M, L*F] (level-major like torch's concat)
+    return jnp.transpose(acc, (1, 0, 2)).reshape(M, L * F)
 
 
 def hash_encode(x, table, resolutions, log2_hashmap_size):
@@ -132,5 +167,63 @@ def hash_encode(x, table, resolutions, log2_hashmap_size):
     """
     res = jnp.asarray(resolutions, dtype=jnp.float32)
     return _hash_encode_impl(
+        x, table, res, log2_hashmap_size, tuple(np.asarray(resolutions).tolist())
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2D variant (background-sphere model: input is (theta, phi) in [-1, 1])
+# ---------------------------------------------------------------------------
+
+_CORNERS_2D = [(i, j) for i in (0, 1) for j in (0, 1)]
+
+
+def _hash2(cx, cy, log2_hashmap_size):
+    h = cx * jnp.uint32(_PRIMES[0])
+    h = h ^ (cy * jnp.uint32(_PRIMES[1]))
+    return h & jnp.uint32((1 << log2_hashmap_size) - 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("log2_hashmap_size", "resolutions_key")
+)
+def _hash_encode_2d_impl(x, table, resolutions, log2_hashmap_size,
+                         resolutions_key):
+    del resolutions_key
+    L = resolutions.shape[0]
+    F = table.shape[-1]
+    M = x.shape[0]
+
+    x = jnp.clip(x, 0.0, 1.0)
+    axes = [x[:, a] for a in range(2)]
+    res = resolutions[:, None].astype(x.dtype)
+    scaled = [a[None, :] * res for a in axes]
+    floor = [jnp.floor(s) for s in scaled]
+    w = [(s - f).astype(table.dtype) for s, f in zip(scaled, floor)]
+    cell = [f.astype(jnp.uint32) for f in floor]
+
+    level_offset = (
+        jnp.arange(L, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
+    )[:, None]
+
+    gather_rows = _make_gather_rows(table.shape[0], F)
+    acc = jnp.zeros((L, M, F), table.dtype)
+    for (di, dj) in _CORNERS_2D:
+        idx = _hash2(
+            cell[0] + jnp.uint32(di), cell[1] + jnp.uint32(dj),
+            log2_hashmap_size,
+        )
+        idx = (idx + level_offset).astype(jnp.int32)
+        cw = (w[0] if di else 1.0 - w[0]) * (w[1] if dj else 1.0 - w[1])
+        acc = acc + cw[..., None] * gather_rows(table, idx)
+
+    return jnp.transpose(acc, (1, 0, 2)).reshape(M, L * F)
+
+
+def hash_encode_2d(x, table, resolutions, log2_hashmap_size):
+    """Encode 2D coords x in [0, 1]^2 -> [N, L*F] features (same hash family
+    as the 3D encoder, 4-corner bilinear interpolation)."""
+    res = jnp.asarray(resolutions, dtype=jnp.float32)
+    return _hash_encode_2d_impl(
         x, table, res, log2_hashmap_size, tuple(np.asarray(resolutions).tolist())
     )

@@ -16,8 +16,10 @@ makes a static redesign *exact*, not approximate:
     1. materialise the candidate t-grid  [N, T]   (closed form when gamma==0,
        a short ``lax.scan`` otherwise),
     2. gather occupancy at each candidate            -> occ [N, T] bool,
-    3. keep the first S occupied candidates per ray  -> ``lax.top_k`` on
-       ``-i`` masked scores (deterministic, no atomics, no host syncs).
+    3. keep the first S occupied candidates per ray  -> cumsum rank + one
+       scatter into [N, S] (deterministic, no atomics, no host syncs;
+       replaced a ``lax.top_k`` sort network — 518 ms -> scatter at
+       [4096, 1024] on v5e).
 
 The fixed per-ray budget S plays the role of the reference's ``mean_count``
 buffer heuristic (``raymarching/raymarching.py:198-216``): instead of randomly
@@ -167,12 +169,23 @@ def march_rays(
 
     n_occupied = jnp.sum(occ.astype(jnp.int32), axis=-1)
 
-    # keep the first `budget` occupied candidates per ray, in order:
-    # score = -i for occupied else -inf; top_k descending == smallest i first.
+    # keep the first `budget` occupied candidates per ray, in order.
+    # Selection by cumsum-rank + ONE scatter: occupied candidate i with rank
+    # cumsum(occ)[i]-1 < S goes to output slot rank; everything else lands in
+    # a discarded scratch slot.  Replaces a ``lax.top_k`` over [N, T] (a sort
+    # network: 518 ms at [4096, 1024] on v5e) with a cheap int cumsum + a
+    # [N, T] scatter — same output, in-order and deterministic.
     steps_i = jnp.arange(n_cand, dtype=jnp.int32)
-    score = jnp.where(occ, -steps_i[None, :], jnp.int32(-(2**30)))
-    top_score, sel = jax.lax.top_k(score, budget)  # [N, S]
-    mask = top_score > -(2**30)
+    rank = jnp.cumsum(occ.astype(jnp.int32), axis=-1) - 1  # [N, T]
+    dst = jnp.where(occ & (rank < budget), rank, budget)   # budget = scratch
+    sel = (
+        jnp.full((N, budget + 1), 0, jnp.int32)
+        .at[jnp.arange(N)[:, None], dst]
+        .set(jnp.broadcast_to(steps_i[None, :], (N, n_cand)), mode="drop")
+    )[:, :budget]
+    mask = jnp.arange(budget, dtype=jnp.int32)[None, :] < jnp.minimum(
+        n_occupied, budget
+    )[:, None]
 
     ts_sel = jnp.take_along_axis(ts, sel, axis=-1)
     dts_sel = jnp.take_along_axis(dts, sel, axis=-1)

@@ -27,11 +27,11 @@ def timeit(name, fn, *args, iters=30):
     identical execute requests)."""
     s = jnp.float32(0.0)
     s = fn(s, *args)
-    jax.block_until_ready(s)
+    float(s)  # materialise: the only reliable barrier under the axon relay
     t0 = time.perf_counter()
     for _ in range(iters):
         s = fn(s, *args)
-    jax.block_until_ready(s)
+    float(s)  # materialise: the only reliable barrier under the axon relay
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:28s} {dt:8.3f} ms", flush=True)
     return dt
@@ -113,12 +113,12 @@ def main():
 
     key = jax.random.PRNGKey(1)
     p, e, o, loss, _, _ = step(params, ema, opt_state, key)
-    jax.block_until_ready(loss)
+    float(jnp.sum(loss))  # materialise: reliable barrier under the relay
     t0 = time.perf_counter()
     iters = 30
     for i in range(iters):
         p, e, o, loss, _, _ = step(p, e, o, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    float(jnp.sum(loss))  # materialise: reliable barrier under the relay
     print(f"{'full train step':28s} {(time.perf_counter()-t0)/iters*1e3:8.3f} ms",
           flush=True)
 
