@@ -8,13 +8,20 @@ method dispatches to a cached ``jax.jit`` specialised on the static config.
 """
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.ngp import NGPConfig, init_ngp_params, ngp_color, ngp_density, ngp_field
+from .models.ngp import (
+    NGPConfig,
+    init_ngp_params,
+    ngp_background,
+    ngp_color,
+    ngp_density,
+    ngp_field,
+)
 from .models.watermark import (
     WatermarkConfig,
     init_watermark_params,
@@ -40,9 +47,14 @@ from .render.renderer import RenderConfig, render_rays_fixed, render_rays_occ
 def _render_occ_clean(params, occupancy, rays_o, rays_d, bg_color, key,
                       cfg: NGPConfig, rc: RenderConfig, budget, use_perturb):
     field = lambda x, d: ngp_field(params, cfg, x, d)
+    bg_fn = (
+        (lambda o, d: ngp_background(params, cfg, o, d))
+        if cfg.bg_radius > 0 else None
+    )
     return render_rays_occ(
         field, occupancy, rays_o, rays_d, rc, budget=budget,
         bg_color=bg_color, perturb_key=key if use_perturb else None,
+        bg_fn=bg_fn,
     )
 
 
@@ -56,11 +68,16 @@ def _render_occ_clean_staged(params, occupancy, rays_o_chunks, rays_d_chunks,
     one per chunk (per-call dispatch latency would otherwise dominate under
     remote PJRT; also lets XLA pipeline chunks)."""
     field = lambda x, d: ngp_field(params, cfg, x, d)
+    bg_fn = (
+        (lambda o, d: ngp_background(params, cfg, o, d))
+        if cfg.bg_radius > 0 else None
+    )
 
     def one(args):
         ro, rd = args
         out = render_rays_occ(
-            field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color
+            field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color,
+            bg_fn=bg_fn,
         )
         return out["image"], out["depth"]
 
@@ -75,11 +92,16 @@ def _render_occ_wtmk_staged(backbone, trainable, occupancy, rays_o_chunks,
                             use_msg):
     msg = message if use_msg else None
     field = lambda x, d: wtmk_field(backbone, trainable, cfg, x, d, msg)
+    bg_fn = (
+        (lambda o, d: ngp_background(backbone, cfg.ngp, o, d))
+        if cfg.ngp.bg_radius > 0 else None
+    )
 
     def one(args):
         ro, rd = args
         out = render_rays_occ(
-            field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color
+            field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color,
+            bg_fn=bg_fn,
         )
         return out["image"], out["depth"]
 
@@ -95,9 +117,14 @@ def _render_occ_wtmk(backbone, trainable, occupancy, rays_o, rays_d, message,
                      budget, use_perturb, use_msg):
     msg = message if use_msg else None
     field = lambda x, d: wtmk_field(backbone, trainable, cfg, x, d, msg)
+    bg_fn = (
+        (lambda o, d: ngp_background(backbone, cfg.ngp, o, d))
+        if cfg.ngp.bg_radius > 0 else None
+    )
     return render_rays_occ(
         field, occupancy, rays_o, rays_d, rc, budget=budget,
         bg_color=bg_color, perturb_key=key if use_perturb else None,
+        bg_fn=bg_fn,
     )
 
 
@@ -106,11 +133,15 @@ def _render_fixed_clean(params, rays_o, rays_d, bg_color, key,
                         cfg: NGPConfig, rc: RenderConfig, use_perturb):
     density = lambda x: ngp_density(params, cfg, x)
     color = lambda x, d, g: ngp_color(params, cfg, d, g)
+    bg_fn = (
+        (lambda o, d: ngp_background(params, cfg, o, d))
+        if cfg.bg_radius > 0 else None
+    )
     k1, k2 = jax.random.split(key)
     return render_rays_fixed(
         density, color, rays_o, rays_d, rc, bg_color=bg_color,
         perturb_key=k1 if use_perturb else None, upsample_key=k2,
-        det_upsample=not use_perturb,
+        det_upsample=not use_perturb, bg_fn=bg_fn,
     )
 
 
@@ -235,7 +266,9 @@ class NGPModel(_BaseModel):
                  bg_radius=-1.0, dt_gamma=0.0, max_steps=1024,
                  grid_size=128, seed=0, train_budget=128, infer_budget=256,
                  num_steps=128, upsample_steps=0):
-        self.cfg = cfg or NGPConfig(bound=bound, density_scale=density_scale)
+        self.cfg = cfg or NGPConfig(
+            bound=bound, density_scale=density_scale, bg_radius=bg_radius
+        )
         rc = RenderConfig(
             bound=self.cfg.bound, grid_size=grid_size,
             density_scale=density_scale, min_near=min_near, dt_gamma=dt_gamma,
@@ -281,7 +314,9 @@ class WatermarkModel(_BaseModel):
                  dt_gamma=0.0, max_steps=1024, grid_size=128, seed=0,
                  train_budget=128, infer_budget=256):
         self.wcfg = wcfg or WatermarkConfig(
-            ngp=NGPConfig(bound=bound, density_scale=density_scale),
+            ngp=NGPConfig(
+                bound=bound, density_scale=density_scale, bg_radius=bg_radius
+            ),
             message_dim=message_dim, n_views=n_views,
         )
         rc = RenderConfig(

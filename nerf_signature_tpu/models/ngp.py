@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activation import trunc_exp
-from ..ops.hashenc import hash_encode, init_hash_table, level_resolutions
+from ..ops.hashenc import (
+    hash_encode,
+    hash_encode_2d,
+    init_hash_table,
+    level_resolutions,
+)
+from ..ops.intersect import sph_from_ray
 from ..ops.sh import sh_encode
 from .mlp import init_mlp, mlp_apply
 
@@ -39,6 +45,18 @@ class NGPConfig:
     sh_degree: int = 4
     density_scale: float = 1.0
     compute_dtype: Any = jnp.bfloat16
+    # background-sphere model (bg_radius > 0 enables it).  The reference's
+    # active networks reference a ``bg_net`` in ``get_params``
+    # (``nerf/network_hash.py:164``) but never define it — ``bg_radius > 0``
+    # crashes upstream; this is a working TPU-native completion of that
+    # feature: 2D hash-encode (theta, phi) on the sphere + SH(dir) -> MLP.
+    bg_radius: float = -1.0
+    bg_n_levels: int = 4
+    bg_log2_hashmap_size: int = 15
+    bg_base_resolution: int = 16
+    bg_finest_resolution: int = 2048
+    bg_hidden_dim: int = 64
+    bg_num_layers: int = 2
 
     @property
     def resolutions(self):
@@ -56,9 +74,18 @@ class NGPConfig:
     def sh_dim(self):
         return self.sh_degree**2
 
+    @property
+    def bg_resolutions(self):
+        return tuple(
+            level_resolutions(
+                self.bg_n_levels, self.bg_base_resolution,
+                self.bg_finest_resolution,
+            ).tolist()
+        )
+
 
 def init_ngp_params(key, cfg: NGPConfig) -> Dict[str, Any]:
-    k_hash, k_sigma, k_color = jax.random.split(key, 3)
+    k_hash, k_sigma, k_color, k_bgt, k_bgn = jax.random.split(key, 5)
     sigma_dims = (
         [cfg.enc_dim]
         + [cfg.hidden_dim] * (cfg.num_layers - 1)
@@ -69,13 +96,24 @@ def init_ngp_params(key, cfg: NGPConfig) -> Dict[str, Any]:
         + [cfg.hidden_dim_color] * (cfg.num_layers_color - 1)
         + [3]
     )
-    return {
+    params = {
         "hash_table": init_hash_table(
             k_hash, cfg.n_levels, cfg.n_features, cfg.log2_hashmap_size
         ),
         "sigma_net": init_mlp(k_sigma, sigma_dims),
         "color_net": init_mlp(k_color, color_dims),
     }
+    if cfg.bg_radius > 0:
+        bg_dims = (
+            [cfg.bg_n_levels * cfg.n_features + cfg.sh_dim]
+            + [cfg.bg_hidden_dim] * (cfg.bg_num_layers - 1)
+            + [3]
+        )
+        params["bg_table"] = init_hash_table(
+            k_bgt, cfg.bg_n_levels, cfg.n_features, cfg.bg_log2_hashmap_size
+        )
+        params["bg_net"] = init_mlp(k_bgn, bg_dims)
+    return params
 
 
 def _encode_pos(params, cfg: NGPConfig, x):
@@ -108,6 +146,27 @@ def ngp_color(params, cfg: NGPConfig, d, geo_feat):
     h = mlp_apply(
         params["color_net"],
         jnp.concatenate([sh, geo_feat], axis=-1),
+        compute_dtype=cfg.compute_dtype,
+    )
+    return jax.nn.sigmoid(h)
+
+
+def ngp_background(params, cfg: NGPConfig, rays_o, rays_d):
+    """Per-ray background colour from the bg-sphere model.
+
+    rays_o/d: [N, 3] -> rgb [N, 3] in [0, 1].  Equivalent of the reference's
+    missing ``background(sph, d)`` (``nerf/renderer.py:232-235`` calls it; the
+    active networks never define it)."""
+    sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)  # [N, 2] in [-1, 1]
+    h2 = hash_encode_2d(
+        (sph + 1.0) * 0.5, params["bg_table"], cfg.bg_resolutions,
+        cfg.bg_log2_hashmap_size,
+    )
+    d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    sh = sh_encode(d, cfg.sh_degree)
+    h = mlp_apply(
+        params["bg_net"],
+        jnp.concatenate([h2, sh], axis=-1),
         compute_dtype=cfg.compute_dtype,
     )
     return jax.nn.sigmoid(h)

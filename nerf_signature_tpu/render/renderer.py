@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.composite import composite_rays
 from ..ops.intersect import near_far_from_aabb
-from ..ops.marching import march_rays, num_candidates
+from ..ops.marching import march_rays
 from ..ops.pdf import sample_pdf
 
 _MISS = 3.0e38  # rays that miss the AABB carry the float32-max sentinel
@@ -57,11 +57,14 @@ def render_rays_occ(
     bg_color=1.0,
     perturb_key=None,
     n_cand: Optional[int] = None,
+    bg_fn: Optional[Callable] = None,
 ):
     """Occupancy-grid render of [N, 3] rays.
 
     ``field_fn(xyzs [M, 3], dirs [M, 3]) -> (sigma [M], rgb [M, 3])`` — the
     clean or message-conditioned field with params already bound.
+    ``bg_fn(rays_o, rays_d) -> [N, 3]``, when given, overrides ``bg_color``
+    (the bg-sphere model path, ref ``nerf/renderer.py:271-274``).
     Returns dict(image [N, 3], depth [N], weights_sum [N]).
     """
     aabb = jnp.array(
@@ -87,6 +90,8 @@ def render_rays_occ(
     )
 
     ws = out["weights_sum"]
+    if bg_fn is not None:
+        bg_color = bg_fn(rays_o, rays_d)
     image = out["image"] + (1.0 - ws)[..., None] * bg_color
     # normalised depth like ref renderer.py:317 (visualisation output)
     hit = nears < _MISS
@@ -111,6 +116,7 @@ def render_rays_fixed(
     perturb_key=None,
     upsample_key=None,
     det_upsample=True,
+    bg_fn: Optional[Callable] = None,
 ):
     """Fixed-step render (the reference's pure-torch ``run`` path).
 
@@ -192,6 +198,8 @@ def render_rays_fixed(
         T_thresh=0.0,  # the fixed-step reference path has no early-out
     )
     ws = out["weights_sum"]
+    if bg_fn is not None:
+        bg_color = bg_fn(rays_o, rays_d)
     image = out["image"] + (1.0 - ws)[..., None] * bg_color
     ori_z = jnp.clip(
         (z_vals - nears_[:, None]) / jnp.maximum((fars_ - nears_)[:, None], 1e-6),

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.ngp import ngp_field, ngp_density
+from ..models.ngp import ngp_background, ngp_density, ngp_field
 from ..ops.grid import OccupancyGrid, update_occupancy_grid
 from ..render.renderer import render_rays_occ
 
@@ -92,18 +92,27 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
         rays_o, rays_d = rays_from_pixels(poses[pidx], intr, pix, H, W)
         img = images[pidx, pix]  # [N, C]
 
-        if has_alpha:
+        if has_alpha and not cfg.bg_radius > 0:
             bg = jax.random.uniform(kbg, (num_rays, 3))
             gt = img[..., :3] * img[..., 3:] + bg * (1.0 - img[..., 3:])
         else:
+            # bg-model path: white GT composite, trainable bg-sphere net
+            # provides the render bg (ref ``nerf/utils.py:498-507``)
             bg = jnp.ones((1, 3))
-            gt = img
+            gt = (
+                img[..., :3] * img[..., 3:] + bg * (1.0 - img[..., 3:])
+                if has_alpha else img
+            )
 
         def loss_fn(p):
             field = lambda a, b: ngp_field(p, cfg, a, b)
+            bg_fn = (
+                (lambda o, d: ngp_background(p, cfg, o, d))
+                if cfg.bg_radius > 0 else None
+            )
             out = render_rays_occ(
                 field, occ.occupancy, rays_o, rays_d, rc, budget=budget,
-                bg_color=bg, perturb_key=kpert,
+                bg_color=bg, perturb_key=kpert, bg_fn=bg_fn,
             )
             return jnp.mean((out["image"] - gt) ** 2), out["n_occupied"]
 

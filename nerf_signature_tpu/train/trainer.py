@@ -28,7 +28,7 @@ import numpy as np
 import optax
 
 from ..api import NGPModel
-from ..models.ngp import ngp_field
+from ..models.ngp import ngp_background, ngp_field
 from ..render.renderer import render_rays_occ
 from .checkpoint import (
     latest_checkpoint,
@@ -73,18 +73,27 @@ def _train_step(params, ema_params, opt_state, occupancy, rays_o, rays_d,
                 ema_decay):
     """One fused optimisation step.  images: [N, 3/4]."""
     kbg, kperturb = jax.random.split(key)
-    if has_alpha:
+    if has_alpha and not cfg.bg_radius > 0:
         bg = jax.random.uniform(kbg, (images.shape[0], 3))
         gt = images[..., :3] * images[..., 3:] + bg * (1.0 - images[..., 3:])
     else:
+        # bg-model path: GT composites over white, the render's bg comes from
+        # the trainable bg-sphere net (ref ``nerf/utils.py:498-507``)
         bg = jnp.ones((1, 3))
-        gt = images
+        gt = (
+            images[..., :3] * images[..., 3:] + bg * (1.0 - images[..., 3:])
+            if has_alpha else images
+        )
 
     def loss_fn(p):
         field = lambda x, d: ngp_field(p, cfg, x, d)
+        bg_fn = (
+            (lambda o, d: ngp_background(p, cfg, o, d))
+            if cfg.bg_radius > 0 else None
+        )
         out = render_rays_occ(
             field, occupancy, rays_o, rays_d, rc, budget=budget,
-            bg_color=bg, perturb_key=kperturb,
+            bg_color=bg, perturb_key=kperturb, bg_fn=bg_fn,
         )
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
         return jnp.mean(per_ray), (per_ray, out["n_occupied"])
