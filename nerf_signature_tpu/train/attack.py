@@ -27,6 +27,7 @@ from ..models.watermark import wtmk_field
 from ..render.renderer import render_rays_occ
 from ..utils.attacks import ATTACKS
 from .metrics import BitAccMeter
+from .trainer_wtmk import _per_view, _render_blocks
 
 
 def attack_sweep(trainer, loader, attacks=None, n_test=50):
@@ -47,17 +48,17 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50):
 
     @functools.partial(jax.jit, static_argnames=("attack",))
     def decode(message, key, attack):
-        field = lambda x, d: wtmk_field(m.backbone, m.trainable, m.wcfg, x, d,
-                                        message)
-        D, bh, bw, _ = rays_o_b.shape
-        out = render_rays_occ(
-            field, m.occ.occupancy, rays_o_b.reshape(-1, 3),
-            rays_d_b.reshape(-1, 3), m.rc, budget=m.infer_budget, bg_color=1.0,
+        # multi-view aware: blocks come back [D, bh, bw, 3] or [D, bh, bw,
+        # V*3]; attacks + normalisation run per view
+        blocks = _render_blocks(
+            m.backbone, m.trainable, m.occ.occupancy, rays_o_b, rays_d_b,
+            message, m.wcfg, m.rc, m.infer_budget,
         )
-        blocks = jnp.clip(out["image"].reshape(D, bh, bw, 3), 0.0, 1.0)
-        blocks = ATTACKS[attack](key, blocks)
+        blocks = _per_view(
+            lambda x: normalize_img(ATTACKS[attack](key, x)), blocks
+        )
         return hidden_decoder_apply(
-            m.trainable["decoder"], m.wcfg.decoder, normalize_img(blocks)
+            m.trainable["decoder"], m.wcfg.decoder, blocks
         )
 
     for attack in attacks:

@@ -80,19 +80,27 @@ def _render_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
     return img
 
 
-def _distort_and_normalize(key, blocks, kind):
-    """Distort + ImageNet-normalise; multi-view blocks [D, bh, bw, V*3] are
-    distorted/normalised per view."""
+def _per_view(fn, blocks):
+    """Apply an RGB-image fn to blocks that may be multi-view channel-concat:
+    [D, bh, bw, 3] applies directly; [D, bh, bw, V*3] applies per view."""
     C = blocks.shape[-1]
     if C == 3:
-        return normalize_img(distortion_layer(key, blocks, kind))
+        return fn(blocks)
     D, bh, bw, _ = blocks.shape
     V = C // 3
     x = blocks.reshape(D, bh, bw, V, 3)
     x = jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(D * V, bh, bw, 3)
-    x = normalize_img(distortion_layer(key, x, kind))
+    x = fn(x)
     x = x.reshape(D, V, bh, bw, 3)
     return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(D, bh, bw, C)
+
+
+def _distort_and_normalize(key, blocks, kind):
+    """Distort + ImageNet-normalise; multi-view blocks [D, bh, bw, V*3] are
+    distorted/normalised per view."""
+    return _per_view(
+        lambda x: normalize_img(distortion_layer(key, x, kind)), blocks
+    )
 
 
 @functools.partial(

