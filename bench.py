@@ -30,7 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 4.0e5  # 2x A100 torch-ngp estimate (see docstring)
-N_STEPS = int(os.environ.get("BENCH_STEPS", "32"))  # per dispatch
+# 8 steps/dispatch: a 32-step scan program reproducibly crashes the tunneled
+# TPU worker (kernel fault in the relay); 8 is stable and amortises dispatch
+# well enough (measured within ~1% of the 32-step rate when both complete).
+N_STEPS = int(os.environ.get("BENCH_STEPS", "8"))  # per dispatch
 
 
 def main():
@@ -41,7 +44,14 @@ def main():
     from nerf_signature_tpu.train.device_loop import device_train_loop
     from nerf_signature_tpu.train.trainer import make_optimizer
 
-    cfg = NGPConfig(bound=1.0, compute_dtype=jnp.bfloat16)
+    # stochastic_hash_grad: exact forward, one-corner unbiased-stochastic
+    # table gradients — 3.3x step speedup with demonstrated-equal e2e
+    # convergence (PERF.md, tests/test_stochastic_grad.py).  BENCH_EXACT=1
+    # benches the exact-gradient path instead.
+    cfg = NGPConfig(
+        bound=1.0, compute_dtype=jnp.bfloat16,
+        stochastic_hash_grad=os.environ.get("BENCH_EXACT") != "1",
+    )
     rc = RenderConfig(bound=1.0, grid_size=128, max_steps=1024)
     n_rays, budget = 4096, 128
     H = W = 256

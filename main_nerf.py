@@ -31,6 +31,8 @@ def main():
     cfg = NGPConfig(
         bound=opt.bound,
         compute_dtype=jax.numpy.bfloat16 if opt.fp16 else jax.numpy.float32,
+        bg_radius=opt.bg_radius,
+        stochastic_hash_grad=opt.stochastic_hash_grad,
     )
     model = NGPModel(
         cfg, cuda_ray=opt.cuda_ray, min_near=opt.min_near,

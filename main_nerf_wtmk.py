@@ -38,6 +38,8 @@ def main():
         ngp=NGPConfig(
             bound=opt.bound,
             compute_dtype=jax.numpy.bfloat16 if opt.fp16 else jax.numpy.float32,
+            bg_radius=opt.bg_radius,
+            stochastic_hash_grad=opt.stochastic_hash_grad,
         ),
         message_dim=opt.message_dim,
         n_views=opt.n_views,

@@ -45,6 +45,10 @@ class NGPConfig:
     sh_degree: int = 4
     density_scale: float = 1.0
     compute_dtype: Any = jnp.bfloat16
+    # exact-forward / one-corner-unbiased-backward hash gradients: ~8x fewer
+    # table scatter updates, the train-step wall on TPU (PERF.md).  Off by
+    # default for exact parity with the reference's gradients.
+    stochastic_hash_grad: bool = False
     # background-sphere model (bg_radius > 0 enables it).  The reference's
     # active networks reference a ``bg_net`` in ``get_params``
     # (``nerf/network_hash.py:164``) but never define it — ``bg_radius > 0``
@@ -117,10 +121,14 @@ def init_ngp_params(key, cfg: NGPConfig) -> Dict[str, Any]:
 
 
 def _encode_pos(params, cfg: NGPConfig, x):
-    """x in [-bound, bound] -> hash features [N, enc_dim]."""
+    """x in [-bound, bound] -> hash features [N, enc_dim].  Table rows are
+    gathered in the compute dtype (bf16 halves gather bandwidth, 1.5x on
+    v5e); the fp32 master table still receives exact fp32 gradients."""
     x01 = (x + cfg.bound) / (2.0 * cfg.bound)
     return hash_encode(
-        x01, params["hash_table"], cfg.resolutions, cfg.log2_hashmap_size
+        x01, params["hash_table"], cfg.resolutions, cfg.log2_hashmap_size,
+        gather_dtype=jnp.dtype(cfg.compute_dtype).name,
+        stochastic_grad=cfg.stochastic_hash_grad,
     )
 
 
@@ -161,6 +169,7 @@ def ngp_background(params, cfg: NGPConfig, rays_o, rays_d):
     h2 = hash_encode_2d(
         (sph + 1.0) * 0.5, params["bg_table"], cfg.bg_resolutions,
         cfg.bg_log2_hashmap_size,
+        gather_dtype=jnp.dtype(cfg.compute_dtype).name,
     )
     d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     sh = sh_encode(d, cfg.sh_degree)

@@ -19,7 +19,7 @@ import dataclasses
 from typing import Any, Dict
 
 import jax
-
+import jax.numpy as jnp
 
 from ..ops.activation import trunc_exp
 from ..ops.hashenc import hash_encode
@@ -75,6 +75,7 @@ def _msg_feature(trainable, cfg: WatermarkConfig, x01, message):
     return hash_encode(
         x01, eff, np.array([float(cfg.msg_resolution)]),
         cfg.msg_log2_hashmap_size,
+        gather_dtype=jnp.dtype(cfg.ngp.compute_dtype).name,
     )
 
 
@@ -82,7 +83,8 @@ def _encode_with_message(backbone, trainable, cfg: WatermarkConfig, x, message):
     ngp = cfg.ngp
     x01 = (x + ngp.bound) / (2.0 * ngp.bound)
     feat = hash_encode(
-        x01, backbone["hash_table"], ngp.resolutions, ngp.log2_hashmap_size
+        x01, backbone["hash_table"], ngp.resolutions, ngp.log2_hashmap_size,
+        gather_dtype=jnp.dtype(ngp.compute_dtype).name,
     )
     if message is not None:
         msg_feat = _msg_feature(trainable, cfg, x01, message)

@@ -60,33 +60,92 @@ def init_hash_table(key, n_levels, n_features, log2_hashmap_size, dtype=jnp.floa
 
 
 @functools.lru_cache(maxsize=None)
-def _make_gather_rows(T, F):
-    """Row gather ``table[idx]`` with an asymmetric custom VJP.
+def _make_gather_rows(T, F, table_dtype, gather_dtype):
+    """Row gather ``table.astype(gather_dtype)[idx]`` with an asymmetric
+    custom VJP.
 
     Measured on v5e (scripts_dev/{gather,scatter}_bench.py at the headline
     67M-element shape): the fastest FORWARD is a row gather (412 ms vs
-    1358 ms for per-feature scalar gathers), but XLA's native gradient of a
-    row gather is a row scatter-add (4079 ms) — 3x slower than per-feature
+    1358 ms for per-feature scalar gathers) and it is bandwidth-bound —
+    gathering bf16 rows is another 1.5x (272 ms).  XLA's native gradient of
+    a row gather is a row scatter-add (4079 ms), 3x slower than per-feature
     scalar scatter-adds (1373 ms).  This custom_vjp pairs the winning layout
-    of each direction."""
+    of each direction: bf16 (or compute-dtype) row-gather forward — the cast
+    of the table itself is a cheap elementwise pass over 2^S*L rows — and
+    fp32 per-feature scalar-scatter backward (cotangents upcast first, so
+    gradient accumulation into the fp32 master table is exact)."""
 
     @jax.custom_vjp
-    def gather_rows(table, idx):
-        return table[idx]
+    def gather_rows(table, table_g, idx):
+        # table: fp32 master (grad target); table_g: the SAME table pre-cast
+        # to gather_dtype ONCE by the caller (hoisted out of the corner loop)
+        del table
+        return table_g[idx]
 
-    def fwd(table, idx):
-        return table[idx], idx
+    def fwd(table, table_g, idx):
+        del table
+        return table_g[idx], idx
 
     def bwd(idx, ct):
+        ct = ct.astype(table_dtype)
         cols = []
         for f_ in range(F):
-            acc = jnp.zeros((T,), ct.dtype)
+            acc = jnp.zeros((T,), table_dtype)
             acc = acc.at[idx].add(ct[..., f_])
             cols.append(acc)
-        return jnp.stack(cols, -1), None
+        return jnp.stack(cols, -1), None, None
 
     gather_rows.defvjp(fwd, bwd)
     return gather_rows
+
+
+@functools.lru_cache(maxsize=None)
+def _make_interp_stochastic(T, F, table_dtype, gather_dtype, n_corners):
+    """Exact-forward / stochastic-backward corner interpolation.
+
+    Forward: the exact weighted sum over all corners (same numbers as the
+    deterministic path).  Backward (table gradient): scatter the cotangent at
+    ONE corner per (level, sample), chosen with probability equal to its
+    interpolation weight — an unbiased estimator of the true gradient
+    (E[ct * 1{c chosen}] = ct * cw_c) with n_corners-times fewer scatter
+    updates.  The scatter is the train-step wall (PERF.md: ~49 M updates/s
+    floor), so this trades gradient variance for ~n_corners x backward
+    speed.  Opt-in via ``NGPConfig.stochastic_hash_grad``."""
+
+    @jax.custom_vjp
+    def interp(table, table_g, idxs, cws, chosen_idx):
+        del table, chosen_idx
+        acc = None
+        for c in range(n_corners):
+            g = cws[c][..., None] * table_g[idxs[c]]
+            acc = g if acc is None else acc + g
+        return acc
+
+    def fwd(table, table_g, idxs, cws, chosen_idx):
+        out = interp(table, table_g, idxs, cws, chosen_idx)
+        return out, (chosen_idx, idxs, cws)
+
+    def fzero(x):
+        # cotangent conventions: float0 for integer leaves, zeros for floats
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    def bwd(res, ct):
+        chosen_idx, idxs, cws = res
+        ct = ct.astype(table_dtype)
+        cols = []
+        for f_ in range(F):
+            acc = jnp.zeros((T,), table_dtype)
+            acc = acc.at[chosen_idx].add(ct[..., f_])
+            cols.append(acc)
+        g_table = jnp.stack(cols, -1)
+        return (g_table, jnp.zeros((T, F), gather_dtype),
+                tuple(fzero(i) for i in idxs),
+                tuple(fzero(w) for w in cws), fzero(chosen_idx))
+
+    interp.defvjp(fwd, bwd)
+    return interp
 
 
 def hash_coords(coords, log2_hashmap_size):
@@ -108,9 +167,13 @@ def _hash3(cx, cy, cz, log2_hashmap_size):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("log2_hashmap_size", "resolutions_key")
+    jax.jit,
+    static_argnames=("log2_hashmap_size", "resolutions_key", "gather_dtype",
+                     "stochastic_grad"),
 )
-def _hash_encode_impl(x, table, resolutions, log2_hashmap_size, resolutions_key):
+def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
+                      resolutions_key, gather_dtype=None,
+                      stochastic_grad=False):
     del resolutions_key  # keys the jit cache on the level config
     L = resolutions.shape[0]
     F = table.shape[-1]
@@ -139,8 +202,11 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size, resolutions_key)
     # the [L, M, F] intermediate is never materialised in tiled form.  The
     # BACKWARD uses per-feature scalar scatters instead (see
     # ``_make_gather_rows``).
-    gather_rows = _make_gather_rows(table.shape[0], F)
-    acc = jnp.zeros((L, M, F), table.dtype)
+    gd = gather_dtype or table.dtype.name
+    table_g = table.astype(gd) if gd != table.dtype.name else table
+    table_g = jax.lax.stop_gradient(table_g)  # grads flow via the master arg
+
+    idxs, cws = [], []
     for (di, dj, dk) in _CORNERS:
         idx = _hash3(
             cell[0] + jnp.uint32(di),
@@ -148,26 +214,66 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size, resolutions_key)
             cell[2] + jnp.uint32(dk),
             log2_hashmap_size,
         )
-        idx = (idx + level_offset).astype(jnp.int32)
-        cw = (
+        idxs.append((idx + level_offset).astype(jnp.int32))
+        cws.append(
             (w[0] if di else 1.0 - w[0])
             * (w[1] if dj else 1.0 - w[1])
             * (w[2] if dk else 1.0 - w[2])
         )
-        acc = acc + cw[..., None] * gather_rows(table, idx)
+
+    if stochastic_grad:
+        # one scatter target per (level, sample): corner c chosen with
+        # probability cw_c.  Pseudo-random u comes from hashing the sample's
+        # own position bits (positions are jittered per step by the marcher's
+        # perturb), so no PRNG key threading is needed.
+        u_bits = _hash3(
+            jax.lax.bitcast_convert_type(scaled[0].astype(jnp.float32),
+                                         jnp.uint32),
+            jax.lax.bitcast_convert_type(scaled[1].astype(jnp.float32),
+                                         jnp.uint32),
+            jax.lax.bitcast_convert_type(scaled[2].astype(jnp.float32),
+                                         jnp.uint32),
+            24,
+        )
+        u = u_bits.astype(table.dtype) * (1.0 / (1 << 24))
+        cum = jnp.zeros((L, M), table.dtype)
+        done = jnp.zeros((L, M), bool)
+        chosen_idx = idxs[-1]
+        for c in range(8):
+            cum = cum + cws[c].astype(table.dtype)
+            newly = (u < cum) & ~done
+            chosen_idx = jnp.where(newly, idxs[c], chosen_idx)
+            done = done | newly
+        interp = _make_interp_stochastic(
+            table.shape[0], F, table.dtype.name, gd, 8
+        )
+        acc = interp(table, table_g, tuple(idxs), tuple(cws), chosen_idx)
+    else:
+        gather_rows = _make_gather_rows(table.shape[0], F, table.dtype.name, gd)
+        acc = jnp.zeros((L, M, F), table.dtype)
+        for c in range(8):
+            acc = acc + cws[c][..., None] * gather_rows(table, table_g, idxs[c])
 
     # [L, M, F] -> [M, L, F] -> [M, L*F] (level-major like torch's concat)
     return jnp.transpose(acc, (1, 0, 2)).reshape(M, L * F)
 
 
-def hash_encode(x, table, resolutions, log2_hashmap_size):
+def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
+                stochastic_grad=False):
     """Encode positions x in [0, 1]^3 -> [N, L*F] features.
 
     x: [N, 3] float; table: [L * 2**S, F]; resolutions: numpy array [L].
+    gather_dtype: optional dtype name the table rows are cast to before the
+    gather ("bfloat16" halves gather bandwidth, 1.5x on v5e; None = exact
+    table-dtype gathers).  Gradients accumulate in the table dtype either way.
+    stochastic_grad: exact forward, one-corner unbiased-stochastic backward
+    (8x fewer table-gradient scatter updates; see ``_make_interp_stochastic``).
     """
     res = jnp.asarray(resolutions, dtype=jnp.float32)
     return _hash_encode_impl(
-        x, table, res, log2_hashmap_size, tuple(np.asarray(resolutions).tolist())
+        x, table, res, log2_hashmap_size,
+        tuple(np.asarray(resolutions).tolist()), gather_dtype=gather_dtype,
+        stochastic_grad=stochastic_grad,
     )
 
 
@@ -185,10 +291,11 @@ def _hash2(cx, cy, log2_hashmap_size):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("log2_hashmap_size", "resolutions_key")
+    jax.jit,
+    static_argnames=("log2_hashmap_size", "resolutions_key", "gather_dtype"),
 )
 def _hash_encode_2d_impl(x, table, resolutions, log2_hashmap_size,
-                         resolutions_key):
+                         resolutions_key, gather_dtype=None):
     del resolutions_key
     L = resolutions.shape[0]
     F = table.shape[-1]
@@ -206,7 +313,10 @@ def _hash_encode_2d_impl(x, table, resolutions, log2_hashmap_size,
         jnp.arange(L, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
     )[:, None]
 
-    gather_rows = _make_gather_rows(table.shape[0], F)
+    gd = gather_dtype or table.dtype.name
+    gather_rows = _make_gather_rows(table.shape[0], F, table.dtype.name, gd)
+    table_g = table.astype(gd) if gd != table.dtype.name else table
+    table_g = jax.lax.stop_gradient(table_g)
     acc = jnp.zeros((L, M, F), table.dtype)
     for (di, dj) in _CORNERS_2D:
         idx = _hash2(
@@ -215,15 +325,17 @@ def _hash_encode_2d_impl(x, table, resolutions, log2_hashmap_size,
         )
         idx = (idx + level_offset).astype(jnp.int32)
         cw = (w[0] if di else 1.0 - w[0]) * (w[1] if dj else 1.0 - w[1])
-        acc = acc + cw[..., None] * gather_rows(table, idx)
+        acc = acc + cw[..., None] * gather_rows(table, table_g, idx)
 
     return jnp.transpose(acc, (1, 0, 2)).reshape(M, L * F)
 
 
-def hash_encode_2d(x, table, resolutions, log2_hashmap_size):
+def hash_encode_2d(x, table, resolutions, log2_hashmap_size,
+                   gather_dtype=None):
     """Encode 2D coords x in [0, 1]^2 -> [N, L*F] features (same hash family
     as the 3D encoder, 4-corner bilinear interpolation)."""
     res = jnp.asarray(resolutions, dtype=jnp.float32)
     return _hash_encode_2d_impl(
-        x, table, res, log2_hashmap_size, tuple(np.asarray(resolutions).tolist())
+        x, table, res, log2_hashmap_size,
+        tuple(np.asarray(resolutions).tolist()), gather_dtype=gather_dtype,
     )

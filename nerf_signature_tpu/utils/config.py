@@ -69,6 +69,10 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--rand_pose", type=int, default=-1)
 
     # TPU-native extras
+    parser.add_argument("--stochastic_hash_grad", action="store_true",
+                        help="exact-forward, one-corner unbiased-stochastic "
+                             "hash-table gradients (~8x fewer scatter "
+                             "updates, the TPU train-step wall; see PERF.md)")
     parser.add_argument("--train_budget", type=int, default=128,
                         help="static per-ray sample budget (auto-adapted)")
     parser.add_argument("--infer_budget", type=int, default=256)

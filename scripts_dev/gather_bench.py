@@ -119,3 +119,29 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra():
+    """bf16-table row gather: is the gather index-bound or bandwidth-bound?"""
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    table = jax.random.uniform(k1, (TBL, 2), jnp.float32)
+    idx = jax.random.randint(k2, (8, L, M), 0, TBL, jnp.int32)
+    tb16 = table.astype(jnp.bfloat16)
+    t4 = jnp.concatenate([table, table], -1)  # [TBL, 4] rows
+
+    def rowg(table, idx):
+        acc = jnp.zeros((L, M), jnp.float32)
+        for c in range(8):
+            g = table[idx[c]]
+            acc = acc + g[..., 0].astype(jnp.float32) + g[..., 1].astype(jnp.float32)
+        return acc
+
+    print(f"devices: {jax.devices()}", flush=True)
+    timeit("c) 8x f32 row gather [.,2]", chained(rowg), table, idx)
+    timeit("i) 8x bf16 row gather [.,2]", chained(rowg), tb16, idx)
+    timeit("j) 8x f32 row gather [.,4]", chained(rowg), t4, idx)
+
+
+if __name__ == "__main__" and os.environ.get("ARG") == "extra":
+    extra()

@@ -49,7 +49,8 @@ def chained(f):
 
 
 def main():
-    cfg = NGPConfig(bound=1.0, compute_dtype=jnp.bfloat16)
+    cfg = NGPConfig(bound=1.0, compute_dtype=jnp.bfloat16,
+                    stochastic_hash_grad=os.environ.get("STOCH") == "1")
     rc = RenderConfig(bound=1.0, grid_size=128, max_steps=1024)
     n_rays, budget = 4096, 128
 
