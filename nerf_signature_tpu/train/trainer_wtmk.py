@@ -199,6 +199,31 @@ class WatermarkTrainer:
                       "checkpoints": [], "best_result": None}
         self.rng = np.random.default_rng(opt.seed)
 
+        # multi-device data parallelism over the content-ray axis (key blocks
+        # + decoder stay replicated — they are small); params replicated,
+        # GSPMD inserts the gradient psum over ICI.  Mirrors the clean
+        # Trainer; the reference's DDP scaffolding is never launched
+        # (SURVEY.md §2.8).
+        n_dev = getattr(opt, "devices", 0) or 1
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh
+
+            assert opt.num_rays % n_dev == 0, "num_rays must divide devices"
+            self.mesh = make_mesh(n_dev)
+            self._shard = NamedSharding(self.mesh, P("rays"))
+            self._repl = NamedSharding(self.mesh, P())
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._repl), t
+            )
+            model.backbone = put(model.backbone)
+            model.trainable = put(model.trainable)
+            self.opt_state = put(self.opt_state)
+            model.occ = put(model.occ)
+        else:
+            self.mesh = None
+
         if workspace is not None:
             os.makedirs(workspace, exist_ok=True)
             self.ckpt_path = os.path.join(workspace, "checkpoints")
@@ -257,13 +282,17 @@ class WatermarkTrainer:
         wm = data["watermark"]
         ct = data["content"]
         ro_b, rd_b = self._wm_rays(wm)
+        ct_o = jnp.asarray(ct["rays_o"]).reshape(-1, 3)
+        ct_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)
+        ct_gt = jnp.asarray(ct["images"]).reshape(-1, 3)
+        if self.mesh is not None:
+            put = lambda x: jax.device_put(x, self._shard)
+            ct_o, ct_d, ct_gt = put(ct_o), put(ct_d), put(ct_gt)
         (m.trainable, self.opt_state, loss, lossw, lossi, decoded
          ) = _wtmk_train_step(
             m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
             jnp.asarray(ro_b), jnp.asarray(rd_b),
-            jnp.asarray(ct["rays_o"]).reshape(-1, 3),
-            jnp.asarray(ct["rays_d"]).reshape(-1, 3),
-            jnp.asarray(ct["images"]).reshape(-1, 3),
+            ct_o, ct_d, ct_gt,
             jnp.asarray(message), m._next_key(),
             jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
             m.wcfg, m.rc, m.train_budget, self.optimizer.update,

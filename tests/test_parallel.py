@@ -109,3 +109,53 @@ class TestShardedStep:
         avg = tr.train_one_epoch(Loader())
         assert np.isfinite(avg)
         assert tr.global_step == 4
+
+
+class TestWatermarkTrainerMultiDevice:
+    def test_wm_train_step_8way(self):
+        from nerf_signature_tpu.api import WatermarkModel
+        from nerf_signature_tpu.models.watermark import WatermarkConfig
+        from nerf_signature_tpu.train.trainer_wtmk import WatermarkTrainer
+
+        D, bh, bw = 2, 4, 4
+        wcfg = WatermarkConfig(ngp=TINY, message_dim=D,
+                               msg_resolution=64, msg_log2_hashmap_size=10)
+        model = WatermarkModel(wcfg, grid_size=16, max_steps=32,
+                               train_budget=8, infer_budget=8)
+        model.occ = model.occ._replace(
+            occupancy=model.occ.occupancy.at[:].set(True)
+        )
+        opt = types.SimpleNamespace(
+            seed=0, iters=4, lr=1e-2, lambda_w=0.02, lambda_i=1.0,
+            loss_w="bce", distortion="none", message_dim=D,
+            devices=8, num_rays=64,
+        )
+        tr = WatermarkTrainer("wm_par", opt, model, workspace=None,
+                              use_checkpoint="scratch", mute=True)
+        assert tr.mesh is not None
+
+        rng = np.random.default_rng(0)
+        o, d = _rays(64, rng)
+        ro_b = np.zeros((D, bh, bw, 3), np.float32) - 2.0
+        rd_b = np.tile(np.array([1, 0, 0], np.float32), (D, bh, bw, 1))
+        data = {
+            "watermark": {"rays_o_block": ro_b, "rays_d_block": rd_b},
+            "content": {
+                "rays_o": o, "rays_d": d,
+                "images": np.full((64, 3), 0.5, np.float32),
+            },
+        }
+        before = jax.tree_util.tree_map(np.asarray, model.trainable)
+        msg = tr.random_message()
+        loss, lossw, lossi, decoded = tr.train_step_data(data, msg)
+        assert np.isfinite(float(loss))
+        assert np.isfinite(float(lossw)) and np.isfinite(float(lossi))
+        # trainable params actually updated under the sharded step
+        changed = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(before),
+                jax.tree_util.tree_leaves(model.trainable),
+            )
+        )
+        assert changed
