@@ -45,6 +45,22 @@ def main():
 
     metrics = [PSNRMeter(), LPIPSMeter()]
 
+    if opt.gui:
+        # interactive browser viewer (replaces the reference's dearpygui
+        # window, nerf/gui.py) — drag to orbit, train start/stop in-page
+        from nerf_signature_tpu.viewer_server import ViewerServer
+
+        trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
+                          ema_decay=0.95, metrics=metrics,
+                          use_checkpoint=opt.ckpt, eval_interval=50)
+        train_loader = (
+            NeRFDataset(opt, type="train").dataloader()
+            if not opt.test else None
+        )
+        ViewerServer(trainer, train_loader, W=opt.W, H=opt.H,
+                     radius=opt.radius, fovy=opt.fovy).serve()
+        return
+
     if opt.test:
         trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
                           metrics=metrics, use_checkpoint=opt.ckpt)

@@ -36,9 +36,13 @@ class OrbitCamera:
 
     @property
     def pose(self):
+        # this framework's ``get_rays`` is +z-forward (``data/rays.py``): the
+        # camera sits at -radius*z in camera axes so the central ray points
+        # at the orbit center (the reference's OpenGL convention is -z
+        # forward, ``nerf/gui.py:27-33`` — sign flipped here on purpose)
         pose = np.eye(4, dtype=np.float32)
         pose[:3, :3] = self.rot
-        pose[:3, 3] = self.rot @ np.array([0, 0, self.radius], np.float32) \
+        pose[:3, 3] = self.rot @ np.array([0, 0, -self.radius], np.float32) \
             + self.center
         return pose
 

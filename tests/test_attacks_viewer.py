@@ -100,3 +100,47 @@ class TestCLIPLossGating:
         loss = CLIPLoss(model_name="nonexistent/model")
         assert not loss.available
         assert loss(np.zeros((1, 8, 8, 3), np.float32)) == 0.0
+
+
+class TestViewerServer:
+    def test_http_viewer_roundtrip(self):
+        import json
+        import time
+        import types
+        import urllib.request
+
+        from nerf_signature_tpu.api import NGPModel
+        from nerf_signature_tpu.models.ngp import NGPConfig
+        from nerf_signature_tpu.train.trainer import Trainer
+        from nerf_signature_tpu.viewer_server import ViewerServer
+
+        cfg = NGPConfig(bound=1.0, n_levels=4, log2_hashmap_size=10,
+                        finest_resolution=64, compute_dtype=jnp.float32)
+        model = NGPModel(cfg, grid_size=16, max_steps=32, infer_budget=8)
+        opt = types.SimpleNamespace(lr=1e-2, iters=10, devices=0, num_rays=64)
+        tr = Trainer("v", opt, model, workspace=None,
+                     use_checkpoint="scratch", mute=True)
+        srv = ViewerServer(tr, None, W=48, H=48, port=7181)
+        srv.serve(blocking=False)
+        try:
+            frame = None
+            for _ in range(120):
+                try:
+                    r = urllib.request.urlopen(
+                        "http://127.0.0.1:7181/frame", timeout=5)
+                    frame = r.read()
+                    break
+                except Exception:
+                    time.sleep(0.5)
+            assert frame and frame[:2] == b"\xff\xd8"  # JPEG magic
+            page = urllib.request.urlopen(
+                "http://127.0.0.1:7181/", timeout=5).read()
+            assert b"tpu-ngp-signature" in page
+            rot_before = srv.viewer.cam.rot.copy()
+            req = urllib.request.Request(
+                "http://127.0.0.1:7181/ctl",
+                data=json.dumps({"orbit": [30, 10]}).encode(), method="POST")
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+            assert not np.allclose(srv.viewer.cam.rot, rot_before)
+        finally:
+            srv.stop()
