@@ -110,7 +110,15 @@ def _make_interp_stochastic(T, F, table_dtype, gather_dtype, n_corners):
     (E[ct * 1{c chosen}] = ct * cw_c) with n_corners-times fewer scatter
     updates.  The scatter is the train-step wall (PERF.md: ~49 M updates/s
     floor), so this trades gradient variance for ~n_corners x backward
-    speed.  Opt-in via ``NGPConfig.stochastic_hash_grad``."""
+    speed.  Opt-in via ``NGPConfig.stochastic_hash_grad``.
+
+    LIMITATION: gradients w.r.t. the input POSITIONS are zero on this path
+    (the VJP returns zero cotangents for the interpolation weights — exact
+    position grads would need re-gathering all corners in the backward,
+    defeating the point).  This framework never differentiates through
+    sample positions (rays carry no parameters), but pose-refinement /
+    deformation-field / analytic-normal extensions must keep
+    ``stochastic_hash_grad=False``."""
 
     @jax.custom_vjp
     def interp(table, table_g, idxs, cws, chosen_idx):
@@ -268,6 +276,8 @@ def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
     table-dtype gathers).  Gradients accumulate in the table dtype either way.
     stochastic_grad: exact forward, one-corner unbiased-stochastic backward
     (8x fewer table-gradient scatter updates; see ``_make_interp_stochastic``).
+    NB: position gradients are ZERO on the stochastic path — keep it off if
+    you differentiate w.r.t. x.
     """
     res = jnp.asarray(resolutions, dtype=jnp.float32)
     return _hash_encode_impl(

@@ -143,7 +143,8 @@ class Trainer:
 
             from ..parallel.mesh import make_mesh
 
-            assert opt.num_rays % n_dev == 0, "num_rays must divide devices"
+            assert opt.num_rays % n_dev == 0, \
+                "num_rays must be a multiple of --devices"
             self.mesh = make_mesh(n_dev)
             self._shard = NamedSharding(self.mesh, P("rays"))
             self._repl = NamedSharding(self.mesh, P())

@@ -35,6 +35,7 @@ import optax
 
 from ..api import WatermarkModel
 from ..models.hidden import hidden_decoder_apply, normalize_img
+from ..models.ngp import ngp_background
 from ..models.watermark import wtmk_field
 from ..render.renderer import render_rays_occ
 from ..utils.image import distortion_layer
@@ -62,6 +63,15 @@ def make_loss_w(kind, temp=10.0):
     raise NotImplementedError(kind)
 
 
+def _bg_fn(backbone, wcfg):
+    """Frozen-backbone bg-sphere closure when the clean model has one
+    (bg_radius > 0), else None — keeps the wm-stage renders consistent with
+    the pseudo-GT produced through ``model.render`` (which applies it)."""
+    if wcfg.ngp.bg_radius > 0:
+        return lambda o, d: ngp_background(backbone, wcfg.ngp, o, d)
+    return None
+
+
 def _render_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
                    message, wcfg, rc, budget):
     """Render the key blocks with the message embedded.
@@ -71,7 +81,7 @@ def _render_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
     field = lambda x, d: wtmk_field(backbone, trainable, wcfg, x, d, message)
     out = render_rays_occ(
         field, occupancy, rays_o_b.reshape(-1, 3), rays_d_b.reshape(-1, 3),
-        rc, budget=budget, bg_color=1.0,
+        rc, budget=budget, bg_color=1.0, bg_fn=_bg_fn(backbone, wcfg),
     )
     img = jnp.clip(out["image"].reshape(*rays_o_b.shape), 0.0, 1.0)
     if img.ndim == 5:  # [D, V, bh, bw, 3] -> channel-concat views
@@ -105,20 +115,25 @@ def _distort_and_normalize(key, blocks, kind):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wcfg", "rc", "budget", "opt_update", "distortion",
+    static_argnames=("wcfg", "rc", "budget", "block_budget", "opt_update",
+                     "distortion",
                      "loss_kind"),
     donate_argnums=(1, 2),
 )
 def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
                      rays_d_b, content_rays_o, content_rays_d, content_gt,
                      message, key, lambda_w, lambda_i, wcfg, rc, budget,
-                     opt_update, distortion, loss_kind):
+                     block_budget, opt_update, distortion, loss_kind):
     loss_w_fn = make_loss_w(loss_kind)
 
     def loss_fn(tr):
+        # key blocks render at the EXTRACTION budget: the decoder must train
+        # on exactly the images ownership verification will decode — a
+        # train/infer budget mismatch is a systematic domain shift that caps
+        # bit accuracy
         blocks = _render_blocks(
             backbone, tr, occupancy, rays_o_b, rays_d_b, message,
-            wcfg, rc, budget,
+            wcfg, rc, block_budget,
         )
         decoded = hidden_decoder_apply(
             tr["decoder"], wcfg.decoder,
@@ -130,7 +145,7 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
         field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
         out = render_rays_occ(
             field, occupancy, content_rays_o, content_rays_d, rc,
-            budget=budget, bg_color=1.0,
+            budget=budget, bg_color=1.0, bg_fn=_bg_fn(backbone, wcfg),
         )
         lossi = jnp.mean((out["image"] - content_gt) ** 2)
         loss = lambda_w * lossw + lambda_i * lossi
@@ -210,7 +225,8 @@ class WatermarkTrainer:
 
             from ..parallel.mesh import make_mesh
 
-            assert opt.num_rays % n_dev == 0, "num_rays must divide devices"
+            assert opt.num_rays % n_dev == 0, \
+                "num_rays must be a multiple of --devices"
             self.mesh = make_mesh(n_dev)
             self._shard = NamedSharding(self.mesh, P("rays"))
             self._repl = NamedSharding(self.mesh, P())
@@ -295,8 +311,8 @@ class WatermarkTrainer:
             ct_o, ct_d, ct_gt,
             jnp.asarray(message), m._next_key(),
             jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
-            m.wcfg, m.rc, m.train_budget, self.optimizer.update,
-            self.distortion, self.loss_kind,
+            m.wcfg, m.rc, m.train_budget, m.infer_budget,
+            self.optimizer.update, self.distortion, self.loss_kind,
         )
         return loss, lossw, lossi, decoded
 

@@ -30,7 +30,8 @@ class OrbitCamera:
         self.radius = r
         self.fovy = fovy
         self.center = np.zeros(3, np.float32)
-        # rotation as a 3x3 (identity = looking down -z in camera space)
+        # rotation as a 3x3 (identity = looking down +z in camera space;
+        # see the pose property for the +z-forward convention)
         self.rot = np.eye(3, dtype=np.float32)
         self.up = np.array([0, 1, 0], np.float32)
 
@@ -92,10 +93,21 @@ class Viewer:
     def train_steps(self):
         if self.train_loader is None:
             return {}
+        # one-time + periodic occupancy-grid maintenance: the GUI loop drives
+        # train_step_data directly, so it must do what Trainer.train does
+        # (ref train_gui also updates the grid, nerf/utils.py:735-737)
+        if not getattr(self, "_grid_marked", False):
+            ld = self.train_loader
+            if getattr(ld, "poses", None) is not None:
+                self.model.mark_untrained_grid(ld.poses, ld.intrinsics)
+            self._grid_marked = True
+        interval = getattr(self.trainer.opt, "update_extra_interval", 16)
         t0 = time.perf_counter()
         it = iter(self.train_loader)
         loss = 0.0
         for _ in range(self.train_steps_per_frame):
+            if self.trainer.global_step % interval == 0:
+                self.model.update_extra_state()
             try:
                 data = next(it)
             except StopIteration:

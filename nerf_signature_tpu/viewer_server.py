@@ -54,7 +54,9 @@ function ctl(m){fetch('/ctl',{method:'POST',body:JSON.stringify(m)})}
 async function tick(){
  try{const r=await fetch('/frame?'+Date.now());
   document.getElementById('stats').textContent=r.headers.get('X-Stats')||'';
-  const b=await r.blob();img.src=URL.createObjectURL(b);}catch(e){}
+  const b=await r.blob();const old=img.src;
+  img.src=URL.createObjectURL(b);
+  if(old.startsWith('blob:'))URL.revokeObjectURL(old);}catch(e){}
  setTimeout(tick,100);}
 tick();
 </script></body></html>"""

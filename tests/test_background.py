@@ -104,3 +104,36 @@ class TestBackgroundModel:
         g = jax.grad(loss)(p)
         assert float(jnp.abs(g["bg_net"][0]).sum()) > 0
         assert float(jnp.abs(g["bg_table"]).sum()) > 0
+
+
+class TestWatermarkBgConsistency:
+    def test_wm_block_render_uses_backbone_bg(self):
+        """Regression: the wm train/decode renders must composite misses onto
+        the frozen backbone's bg model (like the pseudo-GT path), not onto
+        constant white."""
+        from nerf_signature_tpu.models.watermark import (
+            WatermarkConfig,
+            init_watermark_params,
+        )
+        from nerf_signature_tpu.ops.grid import init_occupancy_grid
+        from nerf_signature_tpu.render.renderer import RenderConfig
+        from nerf_signature_tpu.train.trainer_wtmk import _render_blocks
+
+        cfg = NGPConfig(bound=1.0, **TINY_BG)
+        wcfg = WatermarkConfig(ngp=cfg, message_dim=2, msg_resolution=64,
+                               msg_log2_hashmap_size=10)
+        p = init_watermark_params(jax.random.PRNGKey(0), wcfg)
+        occ = init_occupancy_grid(1.0, 8)  # all empty -> every ray misses
+        rc = RenderConfig(bound=1.0, grid_size=8, max_steps=32)
+        D, bh, bw = 2, 4, 4
+        ro = jnp.zeros((D, bh, bw, 3)) - 2.0
+        rd = jnp.tile(jnp.array([1.0, 0, 0]), (D, bh, bw, 1))
+        msg = jnp.array([0, 1], jnp.int32)
+        blocks = _render_blocks(p["backbone"], p["trainable"], occ.occupancy,
+                                ro, rd, msg, wcfg, rc, budget=8)
+        expect = ngp_background(p["backbone"], cfg,
+                                ro.reshape(-1, 3), rd.reshape(-1, 3))
+        np.testing.assert_allclose(
+            np.asarray(blocks).reshape(-1, 3), np.asarray(expect), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(blocks), 1.0)
