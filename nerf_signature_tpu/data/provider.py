@@ -122,6 +122,16 @@ class NeRFDataset:
         frames = transform["frames"]
 
         if self.mode == "colmap" and type == "test":
+            if self.H is None:
+                # transforms.json without w/h (colmap2nerf always writes
+                # them, but hand-written ones may not): probe a frame image
+                for f in frames:
+                    f_path = os.path.join(self.root_path, f["file_path"])
+                    if os.path.exists(f_path):
+                        probe = cv2.imread(f_path, cv2.IMREAD_UNCHANGED)
+                        self.H = int(probe.shape[0] // downscale)
+                        self.W = int(probe.shape[1] // downscale)
+                        break
             f0, f1 = self.rng.choice(frames, 2, replace=False)
             p0 = nerf_matrix_to_ngp(
                 np.array(f0["transform_matrix"], np.float32), self.scale, self.offset
