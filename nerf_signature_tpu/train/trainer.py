@@ -40,6 +40,24 @@ from .checkpoint import (
 from .metrics import PSNRMeter
 
 
+_TB_WRITERS = {}
+
+
+def _tb_writer(workspace):
+    """Cached per-workspace tensorboardX writer (None if tbx is absent).
+    Reference logs to ``workspace/run/<name>`` (``utils_wtmk_disen.py:435``)."""
+    if workspace in _TB_WRITERS:
+        return _TB_WRITERS[workspace]
+    try:
+        from tensorboardX import SummaryWriter
+
+        w = SummaryWriter(os.path.join(workspace, "run"))
+    except Exception:
+        w = None
+    _TB_WRITERS[workspace] = w
+    return w
+
+
 def linear_to_srgb(x):
     """ref ``nerf/utils.py:44-45``."""
     return np.where(x < 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
@@ -196,9 +214,9 @@ class Trainer:
                 print(*args, file=f)
 
     def log_metrics(self, **scalars):
-        """Append one JSON line of scalar telemetry (the reference writes
-        tensorboardX scalars, ``utils_wtmk_disen.py:1200-1204``; a JSONL file
-        needs no extra deps and is trivially plottable)."""
+        """Scalar telemetry: one JSON line (trivially plottable, no deps)
+        plus tensorboardX scalars when available — the reference writes
+        ``train/loss``-style tags per step (``utils_wtmk_disen.py:1200-1204``)."""
         if not self.workspace:
             return
         import json
@@ -206,6 +224,11 @@ class Trainer:
         path = os.path.join(self.workspace, "metrics.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps({"step": self.global_step, **scalars}) + "\n")
+        tb = _tb_writer(self.workspace)
+        if tb is not None:
+            for k, v in scalars.items():
+                if isinstance(v, (int, float)):
+                    tb.add_scalar(f"train/{k}", v, self.global_step)
 
     def _adapt_budget(self, n_occ):
         """mean_count analog: fit the static march budget to the scene

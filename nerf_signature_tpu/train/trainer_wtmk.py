@@ -276,9 +276,16 @@ class WatermarkTrainer:
             return
         import json
 
+        from .trainer import _tb_writer
+
         path = os.path.join(self.workspace, "metrics.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps({"step": self.global_step, **scalars}) + "\n")
+        tb = _tb_writer(self.workspace)
+        if tb is not None:
+            for k, v in scalars.items():
+                if isinstance(v, (int, float)):
+                    tb.add_scalar(f"train/{k}", v, self.global_step)
 
     def random_message(self):
         return self.rng.integers(0, 2, self.message_dim).astype(np.int32)
