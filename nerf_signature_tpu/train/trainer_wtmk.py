@@ -201,10 +201,12 @@ class WatermarkTrainer:
         self.optimizer = make_optimizer(opt.lr, opt.iters)
         if model.wcfg.finetune_decoder:
             # ref network_wtmk_tcnn.py:90-95,179-184: msg_encoder frozen too,
-            # only the decoder trains
-            self.optimizer = optax.masked(
-                self.optimizer,
-                {"msg_tables": False, "decoder": True},
+            # only the decoder trains.  NB: optax.masked alone does NOT
+            # freeze — it passes the raw gradient through where mask=False;
+            # frozen params must have their updates zeroed.
+            self.optimizer = optax.multi_transform(
+                {"train": self.optimizer, "freeze": optax.set_to_zero()},
+                param_labels={"msg_tables": "freeze", "decoder": "train"},
             )
         self.opt_state = self.optimizer.init(model.trainable)
 
