@@ -67,12 +67,57 @@ def main():
         test_loader = NeRFDataset(opt, type="test").dataloader()
         if test_loader.has_gt:
             trainer.evaluate_one_epoch(test_loader)
-        trainer.test(test_loader, write_video=True)
+        frames = trainer.test(test_loader, write_video=True)
+        if opt.prewatermark:
+            # decode the owner message from the rendered views
+            from nerf_signature_tpu.models.hidden import (
+                HiddenDecoderSingleConfig, init_hidden_decoder_single,
+            )
+            from nerf_signature_tpu.train.checkpoint import (
+                load_checkpoint, restore_like,
+            )
+            from nerf_signature_tpu.train.prewatermark import bit_survival
+
+            art = load_checkpoint(
+                os.path.join(opt.workspace, "prewatermark.ckpt"))
+            dec_cfg = HiddenDecoderSingleConfig(
+                num_blocks=8, num_bits=opt.prewatermark_bits, channels=64,
+            )
+            tp, ts = init_hidden_decoder_single(jax.random.PRNGKey(0),
+                                                dec_cfg)
+            dec = restore_like({"params": tp, "state": ts}, art["decoder"])
+            renders = np.stack(frames).astype(np.float32) / 255.0
+            acc, per_view = bit_survival(dec, dec_cfg, renders,
+                                         art["message"])
+            trainer.log(f"[prewatermark] bit survival over {len(per_view)} "
+                        f"rendered views: {acc:.4f}")
         from nerf_signature_tpu.meshing import save_mesh
         save_mesh(model, f"{opt.workspace}/mesh.ply",
                   resolution=opt.mesh_resolution, threshold=10)
     else:
-        train_loader = NeRFDataset(opt, type="train").dataloader()
+        train_set = NeRFDataset(opt, type="train")
+        if opt.prewatermark:
+            from nerf_signature_tpu.train.checkpoint import save_checkpoint
+            from nerf_signature_tpu.train.prewatermark import (
+                pretrain_hidden, watermark_images,
+            )
+
+            rng = np.random.default_rng(opt.seed)
+            message = rng.integers(0, 2, opt.prewatermark_bits)
+            imgs = train_set.images[..., :3].astype(np.float32)
+            enc, dec, enc_cfg, dec_cfg = pretrain_hidden(
+                imgs, opt.prewatermark_bits, steps=opt.prewatermark_steps,
+                strength=opt.prewatermark_strength, seed=opt.seed,
+            )
+            wm = watermark_images(enc, enc_cfg, imgs, message,
+                                  strength=opt.prewatermark_strength)
+            train_set.images[..., :3] = wm
+            os.makedirs(opt.workspace, exist_ok=True)
+            save_checkpoint(
+                os.path.join(opt.workspace, "prewatermark.ckpt"),
+                {"decoder": dec, "encoder": enc, "message": message},
+            )
+        train_loader = train_set.dataloader()
         valid_loader = NeRFDataset(opt, type="val", downscale=1).dataloader()
         trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
                           ema_decay=0.95, metrics=metrics,

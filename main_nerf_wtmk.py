@@ -43,7 +43,9 @@ def main():
         ),
         message_dim=opt.message_dim,
         n_views=opt.n_views,
+        hash_select=opt.hash_select,
         whole_image=opt.whole_image_wm,
+        copyrnerf=opt.copyrnerf,
         finetune_decoder=opt.finetune_decoder,
     )
     model = WatermarkModel(
@@ -79,7 +81,7 @@ def main():
         ).dataloader()
 
     if opt.test:
-        trainer.test_bitacc(make_loader("test", opt.n_views, 200))
+        trainer.test_bitacc(make_loader("test", opt.n_views, opt.n_test_bitacc))
         if opt.attack_suite:
             from nerf_signature_tpu.train.attack import attack_sweep
             attack_sweep(trainer, make_loader("test", opt.n_views, 50),
@@ -94,8 +96,25 @@ def main():
             original = model.trainable
             model.trainable = attacked
             trainer.log("[adv_attack] bit accuracy AFTER epsilon-ball attack:")
-            trainer.test_bitacc(make_loader("test", opt.n_views, 200))
+            trainer.test_bitacc(make_loader("test", opt.n_views, opt.n_test_bitacc))
             model.trainable = original
+        if opt.finetune_attack:
+            from nerf_signature_tpu.train.attack import finetune_attack
+            loader = make_loader("train", opt.n_views, 100)
+            attacked_bb = finetune_attack(
+                trainer, loader, steps=opt.finetune_attack_steps,
+                lr=opt.finetune_attack_lr, num_rays=opt.num_rays,
+            )
+            original_bb = model.backbone
+            model.backbone = attacked_bb
+            trainer.log("[finetune_attack] bit accuracy AFTER backbone "
+                        "finetuning attack:")
+            trainer.test_bitacc(make_loader("test", opt.n_views, opt.n_test_bitacc))
+            trainer.test_image(
+                make_loader("test_image", opt.num_images_test, 4),
+                name="test_image_after_finetune_attack",
+            )
+            model.backbone = original_bb
         trainer.test_image(
             make_loader("test_image", opt.num_images_test, 4),
             name="test_image_from_randomviews",
@@ -107,7 +126,7 @@ def main():
     else:
         fresh = not os.path.exists(keyposes)
         train_loader = make_loader("train", opt.n_views, 100, fresh_keys=fresh)
-        test_bitacc_loader = make_loader("test", opt.n_views, 200)
+        test_bitacc_loader = make_loader("test", opt.n_views, opt.n_test_bitacc)
         test_image_loader = make_loader("test_image", opt.num_images_test, 4)
         max_epoch = int(np.ceil(opt.iters / len(train_loader)))
         trainer.train(train_loader, test_image_loader, test_bitacc_loader,

@@ -42,20 +42,31 @@ def calculate_compression_ratio(blocks):
     return np.array(ratios)
 
 
-def select_key_blocks(image, num_rows, num_cols, num_selections):
-    """image [H, W, 3] -> block coordinates [k, 4] (x0, y0, x1, y1) of the k
-    lowest-compression-ratio blocks; ref ``process_image``
-    (``provider_wtmk.py:212-218``)."""
+def select_key_blocks(image, num_rows, num_cols, num_selections,
+                      selection="jpeg", rng=None):
+    """image [H, W, 3] -> block coordinates [k, 4] (x0, y0, x1, y1).
+
+    selection='jpeg' (paper): the k lowest-compression-ratio (most textured)
+    blocks; ref ``process_image`` (``provider_wtmk.py:212-218``).
+    selection='random': k uniform-random distinct blocks — the reference's
+    random-patch / random-view ablation datasets
+    (``provider_wtmk-checkpoint.py:1212-1229`` ``process_image_random_patch``
+    used by ``NeRFDataset_random_patch:3174`` and
+    ``NeRFDataset_Disen_random_view:3509``)."""
     H, W = image.shape[:2]
     bh, bw = H // num_rows, W // num_cols
-    blocks = (
-        image[: bh * num_rows, : bw * num_cols]
-        .reshape(num_rows, bh, num_cols, bw, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(-1, bh, bw, 3)
-    )
-    ratios = calculate_compression_ratio(blocks)
-    sel = np.argsort(ratios)[:num_selections]
+    if selection == "random":
+        rng = rng or np.random.default_rng()
+        sel = rng.choice(num_rows * num_cols, num_selections, replace=False)
+    else:
+        blocks = (
+            image[: bh * num_rows, : bw * num_cols]
+            .reshape(num_rows, bh, num_cols, bw, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1, bh, bw, 3)
+        )
+        ratios = calculate_compression_ratio(blocks)
+        sel = np.argsort(ratios)[:num_selections]
     rows, cols = sel // num_cols, sel % num_cols
     coords = np.stack(
         [rows * bh, cols * bw, (rows + 1) * bh, (cols + 1) * bw], axis=1
@@ -198,7 +209,9 @@ class NeRFDatasetDisen:
                 # blocks are scored/selected on view 0 (the reference scores
                 # its single key image; provider_wtmk.py:469-477)
                 coords, bh, bw = select_key_blocks(
-                    imgs[0], num_rows, num_cols, message_dim
+                    imgs[0], num_rows, num_cols, message_dim,
+                    selection=getattr(opt, "block_selection", "jpeg"),
+                    rng=self.rng,
                 )
                 self.block_coordinates = coords
                 if keyblocks_save_dir is not None:

@@ -37,17 +37,34 @@ class WatermarkConfig:
     n_views: int = 1
     msg_resolution: int = 2048
     msg_log2_hashmap_size: int = 19
+    # WHERE the message feature lives — the reference's hash-level ablation
+    # (``nerf/.ipynb_checkpoints/network_wtmk_tcnn_ablation_hash{,_all}-checkpoint.py:31,65-80,163-170``):
+    #   1 = finest (paper default): msg encoder at single resolution 2048,
+    #       feature added to the finest level's 2 features ``[:, -2:]``
+    #   2 = coarsest: single resolution 16, added to ``[:, 0:2]``
+    #   3 = middle: single resolution floor(16*b**7) (backbone level 7),
+    #       added to ``[:, 14:16]``
+    #   0 = all levels: ONE level-shared message table hash-encoded at every
+    #       backbone resolution -> [N, 32], added to ALL hash features (the
+    #       ``_all`` variant's working completion — its ``hash_encoding_
+    #       wtmk_bit_all`` module is absent upstream)
+    hash_select: int = 1
     finetune_decoder: bool = False
     # legacy whole-image extraction (ref ``nerf/utils_wtmk.py:528-640``): the
     # decoder reads all message_dim bits from ONE whole rendered image instead
     # of 1 bit per key block
     whole_image: bool = False
+    # CopyRNeRF baseline (``models/copyrnerf.py``): the message enters through
+    # a color-space MLP instead of the codebook hash tables; extraction is
+    # whole-image (ref network_copyrnerf_tcnn-checkpoint.py:56-58)
+    copyrnerf: bool = False
 
     @property
     def decoder(self) -> HiddenDecoderConfig:
+        whole = self.whole_image or self.copyrnerf
         return HiddenDecoderConfig(
             num_blocks=8,
-            num_bits=self.message_dim if self.whole_image else 1,
+            num_bits=self.message_dim if whole else 1,
             redundancy=1,
             input_ch=self.n_views * 3, channels=64,
         )
@@ -55,27 +72,54 @@ class WatermarkConfig:
 
 def init_watermark_params(key, cfg: WatermarkConfig) -> Dict[str, Any]:
     """Returns {'backbone': {...clean NGP...},
-                'trainable': {'msg_tables', 'decoder'}}."""
+                'trainable': {'msg_tables' | 'msg_mlp', 'decoder'}}."""
     k_ngp, k_msg, k_dec = jax.random.split(key, 3)
-    return {
-        "backbone": init_ngp_params(k_ngp, cfg.ngp),
-        "trainable": {
+    if cfg.copyrnerf:
+        from .copyrnerf import init_copyrnerf_mlp
+
+        msg_part = {"msg_mlp": init_copyrnerf_mlp(k_msg, cfg.message_dim)}
+    else:
+        msg_part = {
             "msg_tables": init_msg_tables(
                 k_msg, cfg.message_dim, cfg.ngp.n_features,
                 cfg.msg_log2_hashmap_size,
-            ),
-            "decoder": init_hidden_decoder(k_dec, cfg.decoder),
-        },
+            )
+        }
+    return {
+        "backbone": init_ngp_params(k_ngp, cfg.ngp),
+        "trainable": dict(
+            msg_part, decoder=init_hidden_decoder(k_dec, cfg.decoder)
+        ),
     }
 
 
-def _msg_feature(trainable, cfg: WatermarkConfig, x01, message):
+def msg_encode_placement(cfg: WatermarkConfig):
+    """(resolutions, shared_table, feature_offset) for ``cfg.hash_select``.
+
+    feature_offset is None for the all-levels mode (msg feature spans the
+    whole encoding).  Resolution choices mirror the reference ablation ctor
+    (``network_wtmk_tcnn_ablation_hash-checkpoint.py:65-80``)."""
     import numpy as np
+    res = cfg.ngp.resolutions
+    if cfg.hash_select == 1:
+        return np.array([float(cfg.msg_resolution)]), False, cfg.ngp.enc_dim - 2
+    if cfg.hash_select == 2:
+        return np.array([float(res[0])]), False, 0
+    if cfg.hash_select == 3:
+        mid = cfg.ngp.n_levels // 2 - 1
+        return np.array([float(res[mid])]), False, mid * cfg.ngp.n_features
+    if cfg.hash_select == 0:
+        return np.asarray(res, np.float64), True, None
+    raise ValueError(f"hash_select must be 0..3, got {cfg.hash_select}")
+
+
+def _msg_feature(trainable, cfg: WatermarkConfig, x01, message):
     eff = msg_effective_table(trainable["msg_tables"], message)
+    resolutions, shared, _ = msg_encode_placement(cfg)
     return hash_encode(
-        x01, eff, np.array([float(cfg.msg_resolution)]),
-        cfg.msg_log2_hashmap_size,
+        x01, eff, resolutions, cfg.msg_log2_hashmap_size,
         gather_dtype=jnp.dtype(cfg.ngp.compute_dtype).name,
+        shared_table=shared,
     )
 
 
@@ -86,11 +130,16 @@ def _encode_with_message(backbone, trainable, cfg: WatermarkConfig, x, message):
         x01, backbone["hash_table"], ngp.resolutions, ngp.log2_hashmap_size,
         gather_dtype=jnp.dtype(ngp.compute_dtype).name,
     )
-    if message is not None:
+    if message is not None and not cfg.copyrnerf:
         msg_feat = _msg_feature(trainable, cfg, x01, message)
-        # message feature perturbs only the finest level's 2 features
-        # (ref network_wtmk_tcnn.py:106)
-        feat = feat.at[:, -2:].add(msg_feat)
+        _, _, off = msg_encode_placement(cfg)
+        if off is None:
+            # all-levels ablation: perturb every hash feature
+            feat = feat + msg_feat
+        else:
+            # default: perturb only the selected level's 2 features
+            # (ref network_wtmk_tcnn.py:106; offsets per the hash ablation)
+            feat = feat.at[:, off:off + msg_feat.shape[-1]].add(msg_feat)
     return feat
 
 
@@ -103,11 +152,21 @@ def wtmk_density(backbone, trainable, cfg: WatermarkConfig, x, message):
 
 
 def wtmk_field(backbone, trainable, cfg: WatermarkConfig, x, d, message):
-    """Fused forward (sigma, rgb).  Ref ``network_wtmk_tcnn.py:97-124``."""
+    """Fused forward (sigma, rgb).  Ref ``network_wtmk_tcnn.py:97-124``;
+    in CopyRNeRF mode the message modulates the COLOR through the msg MLP
+    instead (ref network_copyrnerf_tcnn-checkpoint.py:187-193)."""
     ngp = cfg.ngp
     feat = _encode_with_message(backbone, trainable, cfg, x, message)
     h = mlp_apply(backbone["sigma_net"], feat, compute_dtype=ngp.compute_dtype)
     sigma = trunc_exp(h[..., 0])
     geo_feat = h[..., 1:]
     rgb = ngp_color(backbone, ngp, d, geo_feat)
+    if cfg.copyrnerf and message is not None:
+        from .copyrnerf import copyrnerf_color
+
+        x01 = (x + ngp.bound) / (2.0 * ngp.bound)
+        rgb = copyrnerf_color(
+            trainable["msg_mlp"], x01, d, rgb.astype(jnp.float32),
+            h[..., 0].astype(jnp.float32), message,
+        ).astype(rgb.dtype)
     return sigma, rgb

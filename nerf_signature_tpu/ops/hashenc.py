@@ -177,11 +177,11 @@ def _hash3(cx, cy, cz, log2_hashmap_size):
 @functools.partial(
     jax.jit,
     static_argnames=("log2_hashmap_size", "resolutions_key", "gather_dtype",
-                     "stochastic_grad"),
+                     "stochastic_grad", "shared_table"),
 )
 def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
                       resolutions_key, gather_dtype=None,
-                      stochastic_grad=False):
+                      stochastic_grad=False, shared_table=False):
     del resolutions_key  # keys the jit cache on the level config
     L = resolutions.shape[0]
     F = table.shape[-1]
@@ -198,9 +198,14 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
     w = [(s - f).astype(table.dtype) for s, f in zip(scaled, floor)]
     cell = [f.astype(jnp.uint32) for f in floor]
 
-    level_offset = (
-        jnp.arange(L, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
-    )[:, None]
+    if shared_table:
+        # one [2**S, F] table shared by every level (codebook message encoder
+        # in 'all-levels' ablation mode): no per-level offset into the rows
+        level_offset = jnp.zeros((1, 1), jnp.uint32)
+    else:
+        level_offset = (
+            jnp.arange(L, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
+        )[:, None]
 
     # static corner loop: accumulate weight * gathered feature ROW.  One row
     # gather ``table[idx] -> [L, M, F]`` per corner beats per-feature scalar
@@ -267,7 +272,7 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
 
 
 def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
-                stochastic_grad=False):
+                stochastic_grad=False, shared_table=False):
     """Encode positions x in [0, 1]^3 -> [N, L*F] features.
 
     x: [N, 3] float; table: [L * 2**S, F]; resolutions: numpy array [L].
@@ -278,12 +283,14 @@ def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
     (8x fewer table-gradient scatter updates; see ``_make_interp_stochastic``).
     NB: position gradients are ZERO on the stochastic path — keep it off if
     you differentiate w.r.t. x.
+    shared_table: table is ONE [2**S, F] level-shared table instead of
+    [L * 2**S, F] (message-encoder 'all-levels' ablation).
     """
     res = jnp.asarray(resolutions, dtype=jnp.float32)
     return _hash_encode_impl(
         x, table, res, log2_hashmap_size,
         tuple(np.asarray(resolutions).tolist()), gather_dtype=gather_dtype,
-        stochastic_grad=stochastic_grad,
+        stochastic_grad=stochastic_grad, shared_table=shared_table,
     )
 
 

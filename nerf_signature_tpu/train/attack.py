@@ -1,4 +1,5 @@
-"""Watermark attack suites: distortion sweep + epsilon-ball parameter attack.
+"""Watermark attack suites: distortion sweep, epsilon-ball parameter attack,
+and the backbone finetuning attack.
 
 Equivalents of the reference's robustness tooling:
   * the ``--distortion`` re-extraction evaluation
@@ -9,7 +10,14 @@ Equivalents of the reference's robustness tooling:
     1126-1131``): an adversary finetunes the model to erase the watermark
     while clamping every parameter to an L-inf epsilon-ball around the
     original weights (so rendering quality survives); ownership is then
-    re-verified with the attacked weights.
+    re-verified with the attacked weights,
+  * the FINETUNING attack (``nerf/.ipynb_checkpoints/
+    utils_finetuning_attack_disen-checkpoint.py:538-593`` +
+    ``network_finetuning_attack_tcnn-checkpoint.py:128-146,231-241``): the
+    adversary trains ONLY the clean backbone hash encoder with a pure image
+    MSE (the watermark loss is zeroed upstream at ``:585-586``) against views
+    of the model, hoping the re-fitted geometry/colour washes the message
+    contribution out of renders; ownership is re-verified afterwards.
 
 TPU-native: both the attacker step (render + image loss + grad + update +
 ball projection) and the sweep evaluation are single jitted programs.
@@ -132,3 +140,61 @@ def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
     trainer.log(f"[parameter_attack] eps={epsilon} steps={steps} "
                 f"final adv loss={float(loss):.6f}")
     return attacked
+
+
+def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096):
+    """Backbone finetuning attack on the watermarked model.
+
+    The adversary re-trains ONLY the backbone hash table (the reference's
+    trainable group is exactly ``self.encoder.parameters()``,
+    ``network_finetuning_attack_tcnn-checkpoint.py:231-241``) with an image
+    MSE against the model's own renders; the message pathway stays active
+    during the attack renders with a fixed all-ones message, mirroring the
+    reference's ``torch.randint(1, 2, ...)`` message
+    (``provider_wtmk-checkpoint.py:2383``).  Returns the attacked backbone
+    params; the caller re-runs ``test_bitacc`` with them to measure how much
+    of the watermark survives.
+    """
+    m = trainer.model
+    orig_backbone = jax.tree_util.tree_map(jnp.copy, m.backbone)
+    opt = optax.adam(lr)
+    opt_state = opt.init(orig_backbone["hash_table"])
+
+    data = next(iter(loader))
+    ct = data["content"] if "content" in data else data
+    rays_o = jnp.asarray(ct["rays_o"]).reshape(-1, 3)[:num_rays]
+    rays_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)[:num_rays]
+
+    # the attacker's training target: the model's own message-free renders
+    clean_field = lambda x, d: wtmk_field(
+        orig_backbone, m.trainable, m.wcfg, x, d, None
+    )
+    target = render_rays_occ(
+        clean_field, m.occ.occupancy, rays_o, rays_d, m.rc,
+        budget=m.infer_budget, bg_color=1.0,
+    )["image"]
+
+    ones_msg = jnp.ones((m.wcfg.message_dim,), jnp.int32)
+
+    @jax.jit
+    def step(hash_table, opt_state):
+        def loss_fn(ht):
+            bb = dict(orig_backbone, hash_table=ht)
+            field = lambda x, d: wtmk_field(bb, m.trainable, m.wcfg, x, d,
+                                            ones_msg)
+            out = render_rays_occ(
+                field, m.occ.occupancy, rays_o, rays_d, m.rc,
+                budget=m.train_budget, bg_color=1.0,
+            )
+            return jnp.mean((out["image"] - target) ** 2)
+
+        loss, grad = jax.value_and_grad(loss_fn)(hash_table)
+        updates, opt_state = opt.update(grad, opt_state, hash_table)
+        return optax.apply_updates(hash_table, updates), opt_state, loss
+
+    ht = orig_backbone["hash_table"]
+    for _ in range(steps):
+        ht, opt_state, loss = step(ht, opt_state)
+    trainer.log(f"[finetune_attack] steps={steps} lr={lr} "
+                f"final adv loss={float(loss):.6f}")
+    return dict(orig_backbone, hash_table=ht)

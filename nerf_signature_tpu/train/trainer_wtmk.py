@@ -206,7 +206,10 @@ class WatermarkTrainer:
             # frozen params must have their updates zeroed.
             self.optimizer = optax.multi_transform(
                 {"train": self.optimizer, "freeze": optax.set_to_zero()},
-                param_labels={"msg_tables": "freeze", "decoder": "train"},
+                param_labels={
+                    k: ("train" if k == "decoder" else "freeze")
+                    for k in model.trainable
+                },
             )
         self.opt_state = self.optimizer.init(model.trainable)
 
@@ -295,8 +298,10 @@ class WatermarkTrainer:
     # ----------------------------------------------------------------- train
     def _wm_rays(self, wm):
         """Block ray bundles, or (legacy whole-image mode,
-        ``nerf/utils_wtmk.py``) a strided whole-key-image bundle."""
-        if not self.model.wcfg.whole_image:
+        ``nerf/utils_wtmk.py``, and the CopyRNeRF baseline) a strided
+        whole-key-image bundle."""
+        wcfg = self.model.wcfg
+        if not (wcfg.whole_image or wcfg.copyrnerf):
             return wm["rays_o_block"], wm["rays_d_block"]
         ro, rd = wm["rays_o"], wm["rays_d"]  # [1, H, W, 3]
         s = max(1, int(np.ceil(max(ro.shape[1], ro.shape[2]) / 96)))

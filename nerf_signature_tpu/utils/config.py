@@ -88,6 +88,16 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--profile", action="store_true",
                         help="dump a jax.profiler trace of the first training "
                              "steps to <workspace>/profile")
+    # prewatermarking baseline (2D-watermark-then-train; ref stale snapshot
+    # utils_wtmk_pre-checkpoint.py / NeRFDataset_Prewatermarking)
+    parser.add_argument("--prewatermark", action="store_true",
+                        help="embed a HiDDeN 2D watermark into the training "
+                             "images before NeRF training; --test decodes it "
+                             "from rendered views and reports bit accuracy")
+    parser.add_argument("--prewatermark_bits", type=int, default=16)
+    parser.add_argument("--prewatermark_steps", type=int, default=600,
+                        help="HiDDeN encoder/decoder pretraining steps")
+    parser.add_argument("--prewatermark_strength", type=float, default=0.1)
     return parser
 
 
@@ -106,6 +116,9 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     parser.add_argument("--eval_interval", type=int, default=10)
     parser.add_argument("--save_interval", type=int, default=10)
     parser.add_argument("--num_images_test", type=int, default=360)
+    parser.add_argument("--n_test_bitacc", type=int, default=200,
+                        help="random messages per bit-accuracy evaluation "
+                             "(ref n_test=200, main_nerf_wtmk.py:122)")
     parser.add_argument(
         "--distortion", type=str, default="none",
         choices=["none", "noise", "rotation", "scaling", "blurring",
@@ -113,8 +126,18 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     )
     # robustness suites (reference: --distortion rerun + the checkpoint-variant
     # epsilon-ball adversarial attack)
+    parser.add_argument(
+        "--hash_select", type=int, default=1, choices=[0, 1, 2, 3],
+        help="message-injection ablation (ref network_wtmk_tcnn_ablation_"
+             "hash*): 1=finest level (paper default), 2=coarsest, 3=middle, "
+             "0=all levels",
+    )
     parser.add_argument("--whole_image_wm", action="store_true",
                         help="legacy whole-image extraction (utils_wtmk.py)")
+    parser.add_argument("--copyrnerf", action="store_true",
+                        help="CopyRNeRF baseline: color-space message MLP + "
+                             "whole-image extraction (ref network_copyrnerf_"
+                             "tcnn / utils_wtmk_copyrnerf snapshots)")
     parser.add_argument("--finetune_decoder", action="store_true",
                         help="freeze msg encoder too; train only the decoder")
     parser.add_argument("--attack_suite", action="store_true",
@@ -123,6 +146,18 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
                         help="run the epsilon-ball parameter attack in --test")
     parser.add_argument("--adv_epsilon", type=float, default=1e-3)
     parser.add_argument("--adv_steps", type=int, default=100)
+    parser.add_argument("--finetune_attack", action="store_true",
+                        help="run the backbone finetuning attack in --test "
+                             "(ref utils_finetuning_attack_disen)")
+    parser.add_argument("--finetune_attack_steps", type=int, default=100)
+    parser.add_argument("--finetune_attack_lr", type=float, default=1e-3)
+    parser.add_argument(
+        "--block_selection", type=str, default="jpeg",
+        choices=["jpeg", "random"],
+        help="key-block picker: 'jpeg' = least-JPEG-compressible blocks "
+             "(paper); 'random' = uniform random blocks (ref "
+             "NeRFDataset_random_patch / _Disen_random_view ablations)",
+    )
     return parser
 
 

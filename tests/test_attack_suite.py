@@ -46,6 +46,60 @@ def _make(n_views):
     return StubTrainer(m, D), loader
 
 
+class TestFinetuneAttack:
+    def test_only_hash_table_changes(self):
+        """The attacker's update touches ONLY the backbone hash table (ref
+        network_finetuning_attack_tcnn-checkpoint.py:231-241 trains just
+        ``self.encoder``); msg tables/decoder stay untouched."""
+        from nerf_signature_tpu.train.attack import finetune_attack
+
+        tr, _ = _make(1)
+        m = tr.model
+        rng = np.random.default_rng(1)
+        o = np.asarray(rng.normal(0, 0.1, (16, 3)) - [2.0, 0, 0], np.float32)
+        d = np.asarray(rng.normal([1, 0, 0], 0.05, (16, 3)), np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        loader = [{"content": {"rays_o": o, "rays_d": d}}]
+
+        bb_before = jax.tree_util.tree_map(np.asarray, m.backbone)
+        tr_before = jax.tree_util.tree_map(np.asarray, m.trainable)
+        attacked = finetune_attack(tr, loader, steps=2, lr=1e-2, num_rays=16)
+
+        assert not np.array_equal(
+            bb_before["hash_table"], np.asarray(attacked["hash_table"])
+        )
+        for k in bb_before:
+            if k == "hash_table":
+                continue
+            for a, b in zip(jax.tree_util.tree_leaves(bb_before[k]),
+                            jax.tree_util.tree_leaves(attacked[k])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(tr_before),
+                        jax.tree_util.tree_leaves(m.trainable)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRandomBlockSelection:
+    def test_random_blocks_distinct_and_in_bounds(self):
+        from nerf_signature_tpu.data.provider_wtmk import select_key_blocks
+
+        img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+        coords, bh, bw = select_key_blocks(
+            img, 4, 4, 6, selection="random",
+            rng=np.random.default_rng(1),
+        )
+        assert coords.shape == (6, 4)
+        assert bh == 8 and bw == 8
+        keys = {tuple(c) for c in coords.tolist()}
+        assert len(keys) == 6  # distinct blocks
+        assert (coords[:, 2] <= 32).all() and (coords[:, 3] <= 32).all()
+        # same rng seed -> reproducible key material
+        coords2, _, _ = select_key_blocks(
+            img, 4, 4, 6, selection="random", rng=np.random.default_rng(1),
+        )
+        np.testing.assert_array_equal(coords, coords2)
+
+
 class TestAttackSweep:
     def test_single_view(self):
         tr, loader = _make(1)

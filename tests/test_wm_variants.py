@@ -51,6 +51,139 @@ class TestSingleViewDecoder:
                                        np.asarray(b["mean"]))
 
 
+class TestHashSelectAblation:
+    """Message-injection ablation (ref network_wtmk_tcnn_ablation_hash*:
+    hash_select 1=finest/2=coarsest/3=middle/0=all-levels)."""
+
+    def _cfg(self, hash_select):
+        return WatermarkConfig(
+            ngp=NGPConfig(n_levels=4, log2_hashmap_size=8,
+                          finest_resolution=128,
+                          compute_dtype=jnp.float32),
+            message_dim=4, msg_resolution=128, msg_log2_hashmap_size=8,
+            hash_select=hash_select,
+        )
+
+    def test_injection_slices(self):
+        from nerf_signature_tpu.models.watermark import (
+            _encode_with_message, init_watermark_params,
+        )
+
+        x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1,
+                               maxval=1)
+        m0 = jnp.zeros((4,), jnp.int32)
+        m1 = m0.at[2].set(1)
+        # expected perturbed feature columns per mode (n_levels=4, F=2)
+        expected = {1: [6, 7], 2: [0, 1], 3: [2, 3],
+                    0: list(range(8))}
+        for sel, cols in expected.items():
+            cfg = self._cfg(sel)
+            p = init_watermark_params(jax.random.PRNGKey(0), cfg)
+            f0 = _encode_with_message(p["backbone"], p["trainable"], cfg, x, m0)
+            f1 = _encode_with_message(p["backbone"], p["trainable"], cfg, x, m1)
+            diff = np.abs(np.asarray(f1 - f0)).max(axis=0)
+            changed = set(np.nonzero(diff > 0)[0].tolist())
+            assert changed, f"hash_select={sel}: bit flip had no effect"
+            assert changed <= set(cols), (
+                f"hash_select={sel}: changed {changed}, allowed {cols}"
+            )
+            # no-message encode must equal the clean backbone encode
+            fnone = _encode_with_message(p["backbone"], p["trainable"], cfg,
+                                         x, None)
+            assert fnone.shape == f0.shape
+
+    def test_all_levels_msg_table_shape_and_grad(self):
+        """hash_select=0 keeps the [D, 2, 2**S, F] codebook (level-shared)
+        and gradients reach exactly the selected tables."""
+        from nerf_signature_tpu.models.watermark import (
+            _encode_with_message, init_watermark_params,
+        )
+
+        cfg = self._cfg(0)
+        p = init_watermark_params(jax.random.PRNGKey(0), cfg)
+        assert p["trainable"]["msg_tables"].shape == (4, 2, 256, 2)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+        msg = jnp.array([0, 1, 1, 0], jnp.int32)
+
+        def loss(tables):
+            tr = dict(p["trainable"], msg_tables=tables)
+            f = _encode_with_message(p["backbone"], tr, cfg, x, msg)
+            return jnp.sum(f**2)
+
+        g = jax.grad(loss)(p["trainable"]["msg_tables"])
+        g = np.asarray(g)
+        per_table = np.abs(g).sum(axis=(2, 3))  # [D, 2]
+        for i, b in enumerate([0, 1, 1, 0]):
+            assert per_table[i, b] > 0
+            assert per_table[i, 1 - b] == 0
+
+
+class TestCopyRNeRF:
+    """CopyRNeRF color-space baseline (models/copyrnerf.py)."""
+
+    def _cfg(self):
+        return WatermarkConfig(
+            ngp=NGPConfig(n_levels=4, log2_hashmap_size=8,
+                          finest_resolution=128, compute_dtype=jnp.float32),
+            message_dim=4, copyrnerf=True,
+        )
+
+    def test_params_and_decoder_shape(self):
+        from nerf_signature_tpu.models.watermark import init_watermark_params
+
+        cfg = self._cfg()
+        assert cfg.decoder.num_bits == 4  # whole-image extraction
+        p = init_watermark_params(jax.random.PRNGKey(0), cfg)
+        assert "msg_mlp" in p["trainable"]
+        assert "msg_tables" not in p["trainable"]
+
+    def test_message_changes_color_not_sigma(self):
+        from nerf_signature_tpu.models.watermark import (
+            init_watermark_params, wtmk_field,
+        )
+
+        cfg = self._cfg()
+        p = init_watermark_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1,
+                               maxval=1)
+        d = jax.random.normal(jax.random.PRNGKey(2), (32, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        s_none, c_none = wtmk_field(p["backbone"], p["trainable"], cfg, x, d,
+                                    None)
+        msg = jnp.array([1, 0, 1, 1], jnp.int32)
+        s_msg, c_msg = wtmk_field(p["backbone"], p["trainable"], cfg, x, d,
+                                  msg)
+        np.testing.assert_allclose(np.asarray(s_none), np.asarray(s_msg),
+                                   rtol=1e-6)
+        assert np.abs(np.asarray(c_msg - c_none)).max() > 0
+        # flipping a bit changes the color too
+        s2, c2 = wtmk_field(p["backbone"], p["trainable"], cfg, x, d,
+                            msg.at[0].set(0))
+        assert np.abs(np.asarray(c2 - c_msg)).max() > 0
+
+    def test_grad_flows_to_msg_mlp(self):
+        from nerf_signature_tpu.models.watermark import (
+            init_watermark_params, wtmk_field,
+        )
+
+        cfg = self._cfg()
+        p = init_watermark_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (8, 1))
+        msg = jnp.array([1, 0, 1, 0], jnp.int32)
+
+        def loss(tr):
+            _, rgb = wtmk_field(p["backbone"], tr, cfg, x, d, msg)
+            return jnp.sum(rgb.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(p["trainable"])
+        gmax = max(
+            float(jnp.abs(l).max())
+            for l in jax.tree_util.tree_leaves(g["msg_mlp"])
+        )
+        assert gmax > 0
+
+
 class TestFinetuneDecoder:
     def test_msg_tables_frozen_decoder_trains(self):
         """--finetune_decoder freezes the msg encoder too (ref
