@@ -81,7 +81,9 @@ def main():
             art = load_checkpoint(
                 os.path.join(opt.workspace, "prewatermark.ckpt"))
             dec_cfg = HiddenDecoderSingleConfig(
-                num_blocks=8, num_bits=opt.prewatermark_bits, channels=64,
+                num_blocks=int(art.get("dec_blocks", 8)),
+                num_bits=int(art.get("num_bits", opt.prewatermark_bits)),
+                channels=int(art.get("channels", 64)),
             )
             tp, ts = init_hidden_decoder_single(jax.random.PRNGKey(0),
                                                 dec_cfg)
@@ -104,18 +106,27 @@ def main():
 
             rng = np.random.default_rng(opt.seed)
             message = rng.integers(0, 2, opt.prewatermark_bits)
-            imgs = train_set.images[..., :3].astype(np.float32)
+            imgs = train_set.images.astype(np.float32)
+            if imgs.shape[-1] == 4:
+                # composite over the white eval background BEFORE embedding:
+                # the trainer's GT compose rgb*a + bg*(1-a) would otherwise
+                # erase the watermark wherever alpha < 1, and the decoder
+                # must see the same background domain the renders have
+                imgs = imgs[..., :3] * imgs[..., 3:] + (1.0 - imgs[..., 3:])
             enc, dec, enc_cfg, dec_cfg = pretrain_hidden(
                 imgs, opt.prewatermark_bits, steps=opt.prewatermark_steps,
                 strength=opt.prewatermark_strength, seed=opt.seed,
             )
             wm = watermark_images(enc, enc_cfg, imgs, message,
                                   strength=opt.prewatermark_strength)
-            train_set.images[..., :3] = wm
+            train_set.images = wm  # 3-channel: bg already composited in
             os.makedirs(opt.workspace, exist_ok=True)
             save_checkpoint(
                 os.path.join(opt.workspace, "prewatermark.ckpt"),
-                {"decoder": dec, "encoder": enc, "message": message},
+                {"decoder": dec, "encoder": enc, "message": message,
+                 "dec_blocks": dec_cfg.num_blocks,
+                 "channels": dec_cfg.channels,
+                 "num_bits": dec_cfg.num_bits},
             )
         train_loader = train_set.dataloader()
         valid_loader = NeRFDataset(opt, type="val", downscale=1).dataloader()

@@ -86,12 +86,17 @@ def main():
             from nerf_signature_tpu.train.attack import attack_sweep
             attack_sweep(trainer, make_loader("test", opt.n_views, 50),
                          n_test=50)
+        # one train loader (pseudo-GT renders are expensive) shared by both
+        # parameter-space attacks
+        attack_loader = (
+            make_loader("train", opt.n_views, 100)
+            if (opt.adv_attack or opt.finetune_attack) else None
+        )
         if opt.adv_attack:
             from nerf_signature_tpu.train.attack import parameter_attack
-            loader = make_loader("train", opt.n_views, 100)
             attacked = parameter_attack(
-                trainer, loader, epsilon=opt.adv_epsilon, steps=opt.adv_steps,
-                num_rays=opt.num_rays,
+                trainer, attack_loader, epsilon=opt.adv_epsilon,
+                steps=opt.adv_steps, num_rays=opt.num_rays,
             )
             original = model.trainable
             model.trainable = attacked
@@ -100,9 +105,8 @@ def main():
             model.trainable = original
         if opt.finetune_attack:
             from nerf_signature_tpu.train.attack import finetune_attack
-            loader = make_loader("train", opt.n_views, 100)
             attacked_bb = finetune_attack(
-                trainer, loader, steps=opt.finetune_attack_steps,
+                trainer, attack_loader, steps=opt.finetune_attack_steps,
                 lr=opt.finetune_attack_lr, num_rays=opt.num_rays,
             )
             original_bb = model.backbone

@@ -34,11 +34,15 @@ import numpy as np
 
 def freq_encode(x, n_freqs):
     """tcnn-style 'Frequency' encoding: [..., C] -> [..., C * 2 * n_freqs]
-    with sin/cos of 2**k * pi * x."""
-    freqs = (2.0 ** np.arange(n_freqs)).astype(np.float32) * np.pi
-    ang = x[..., None] * freqs  # [..., C, n_freqs]
-    enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-    return enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * n_freqs)
+    with sin/cos of 2**k * pi * x.
+
+    Layout: everything stays flat [..., C*n_freqs] (sample-minor) — no
+    [N, C, n_freqs]-style small-minor intermediate for TPU register tiling
+    to pad (CLAUDE.md layout rule)."""
+    C = x.shape[-1]
+    freqs = np.tile((2.0 ** np.arange(n_freqs)).astype(np.float32) * np.pi, C)
+    ang = jnp.repeat(x, n_freqs, axis=-1) * freqs  # [..., C * n_freqs]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
 def init_copyrnerf_mlp(key, message_dim, width=256, depth=3,

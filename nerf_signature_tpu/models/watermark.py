@@ -102,7 +102,8 @@ def msg_encode_placement(cfg: WatermarkConfig):
     import numpy as np
     res = cfg.ngp.resolutions
     if cfg.hash_select == 1:
-        return np.array([float(cfg.msg_resolution)]), False, cfg.ngp.enc_dim - 2
+        return (np.array([float(cfg.msg_resolution)]), False,
+                cfg.ngp.enc_dim - cfg.ngp.n_features)
     if cfg.hash_select == 2:
         return np.array([float(res[0])]), False, 0
     if cfg.hash_select == 3:

@@ -35,7 +35,7 @@ from ..models.watermark import wtmk_field
 from ..render.renderer import render_rays_occ
 from ..utils.attacks import ATTACKS
 from .metrics import BitAccMeter
-from .trainer_wtmk import _per_view, _render_blocks
+from .trainer_wtmk import _per_view, _render_blocks, wm_rays
 
 
 def attack_sweep(trainer, loader, attacks=None, n_test=50):
@@ -51,8 +51,11 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50):
     for data in loader:  # grab the (static) watermark dict once
         wm = data["watermark"]
         break
-    rays_o_b = jnp.asarray(wm["rays_o_block"])
-    rays_d_b = jnp.asarray(wm["rays_d_block"])
+    # same extraction rays as the trainer (block bundles, or the strided
+    # whole key image in whole-image/CopyRNeRF decoder modes)
+    ro_b, rd_b = wm_rays(m.wcfg, wm)
+    rays_o_b = jnp.asarray(ro_b)
+    rays_d_b = jnp.asarray(rd_b)
 
     @functools.partial(jax.jit, static_argnames=("attack",))
     def decode(message, key, attack):
@@ -131,6 +134,7 @@ def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
         return trainable, opt_state, loss
 
     attacked = m.trainable
+    loss = float("nan")
     rng = np.random.default_rng(0)
     for i in range(steps):
         msg = jnp.asarray(
@@ -148,9 +152,11 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096):
     The adversary re-trains ONLY the backbone hash table (the reference's
     trainable group is exactly ``self.encoder.parameters()``,
     ``network_finetuning_attack_tcnn-checkpoint.py:231-241``) with an image
-    MSE against the model's own renders; the message pathway stays active
-    during the attack renders with a fixed all-ones message, mirroring the
-    reference's ``torch.randint(1, 2, ...)`` message
+    MSE against the training views' pseudo-GT (the reference fits
+    ``data['images']`` per batch, ``utils_finetuning_attack_disen-
+    checkpoint.py:559-586``, cycling over the dataset); the message pathway
+    stays active during the attack renders with a fixed all-ones message,
+    mirroring the reference's ``torch.randint(1, 2, ...)`` message
     (``provider_wtmk-checkpoint.py:2383``).  Returns the attacked backbone
     params; the caller re-runs ``test_bitacc`` with them to measure how much
     of the watermark survives.
@@ -160,31 +166,20 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096):
     opt = optax.adam(lr)
     opt_state = opt.init(orig_backbone["hash_table"])
 
-    data = next(iter(loader))
-    ct = data["content"] if "content" in data else data
-    rays_o = jnp.asarray(ct["rays_o"]).reshape(-1, 3)[:num_rays]
-    rays_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)[:num_rays]
-
-    # the attacker's training target: the model's own message-free renders
-    clean_field = lambda x, d: wtmk_field(
-        orig_backbone, m.trainable, m.wcfg, x, d, None
-    )
-    target = render_rays_occ(
-        clean_field, m.occ.occupancy, rays_o, rays_d, m.rc,
-        budget=m.infer_budget, bg_color=1.0,
-    )["image"]
-
     ones_msg = jnp.ones((m.wcfg.message_dim,), jnp.int32)
 
     @jax.jit
-    def step(hash_table, opt_state):
+    def step(hash_table, opt_state, rays_o, rays_d, target):
         def loss_fn(ht):
             bb = dict(orig_backbone, hash_table=ht)
             field = lambda x, d: wtmk_field(bb, m.trainable, m.wcfg, x, d,
                                             ones_msg)
+            # render at the SAME budget the pseudo-GT targets were produced
+            # with, so the loss floor is the watermark contribution alone,
+            # not a render-budget domain shift
             out = render_rays_occ(
                 field, m.occ.occupancy, rays_o, rays_d, m.rc,
-                budget=m.train_budget, bg_color=1.0,
+                budget=m.infer_budget, bg_color=1.0,
             )
             return jnp.mean((out["image"] - target) ** 2)
 
@@ -193,8 +188,18 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096):
         return optax.apply_updates(hash_table, updates), opt_state, loss
 
     ht = orig_backbone["hash_table"]
-    for _ in range(steps):
-        ht, opt_state, loss = step(ht, opt_state)
+    loss = float("nan")
+    done = 0
+    while done < steps:  # cycle the loader: fresh rays/views every step
+        for data in loader:
+            if done >= steps:
+                break
+            ct = data["content"] if "content" in data else data
+            rays_o = jnp.asarray(ct["rays_o"]).reshape(-1, 3)[:num_rays]
+            rays_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)[:num_rays]
+            target = jnp.asarray(ct["images"]).reshape(-1, 3)[:num_rays]
+            ht, opt_state, loss = step(ht, opt_state, rays_o, rays_d, target)
+            done += 1
     trainer.log(f"[finetune_attack] steps={steps} lr={lr} "
                 f"final adv loss={float(loss):.6f}")
     return dict(orig_backbone, hash_table=ht)

@@ -42,9 +42,7 @@ from ..models.hidden import (
 
 
 def _bce_logits(logits, bits):
-    z = jnp.clip(logits, -30, 30)
-    return jnp.mean(jnp.log1p(jnp.exp(-jnp.abs(z)))
-                    + jnp.maximum(z, 0) - z * bits)
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, bits))
 
 
 def pretrain_hidden(images, message_dim, steps=600, crop=64, batch=8,

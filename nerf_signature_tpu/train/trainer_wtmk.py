@@ -105,6 +105,18 @@ def _per_view(fn, blocks):
     return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(D, bh, bw, C)
 
 
+def wm_rays(wcfg, wm):
+    """Decoder-input ray bundles from a watermark data dict: block bundles,
+    or (legacy whole-image mode, ``nerf/utils_wtmk.py``, and the CopyRNeRF
+    baseline) a strided whole-key-image bundle.  Shared by the trainer and
+    the attack suites so every decode path agrees on the extraction rays."""
+    if not (wcfg.whole_image or wcfg.copyrnerf):
+        return wm["rays_o_block"], wm["rays_d_block"]
+    ro, rd = wm["rays_o"], wm["rays_d"]  # [1, H, W, 3]
+    s = max(1, int(np.ceil(max(ro.shape[1], ro.shape[2]) / 96)))
+    return ro[:, ::s, ::s], rd[:, ::s, ::s]
+
+
 def _distort_and_normalize(key, blocks, kind):
     """Distort + ImageNet-normalise; multi-view blocks [D, bh, bw, V*3] are
     distorted/normalised per view."""
@@ -297,15 +309,7 @@ class WatermarkTrainer:
 
     # ----------------------------------------------------------------- train
     def _wm_rays(self, wm):
-        """Block ray bundles, or (legacy whole-image mode,
-        ``nerf/utils_wtmk.py``, and the CopyRNeRF baseline) a strided
-        whole-key-image bundle."""
-        wcfg = self.model.wcfg
-        if not (wcfg.whole_image or wcfg.copyrnerf):
-            return wm["rays_o_block"], wm["rays_d_block"]
-        ro, rd = wm["rays_o"], wm["rays_d"]  # [1, H, W, 3]
-        s = max(1, int(np.ceil(max(ro.shape[1], ro.shape[2]) / 96)))
-        return ro[:, ::s, ::s], rd[:, ::s, ::s]
+        return wm_rays(self.model.wcfg, wm)
 
     def train_step_data(self, data, message):
         m = self.model

@@ -88,6 +88,9 @@ class Viewer:
         self.render_budget_ms = render_budget_ms
         self.train_steps_per_frame = 16
         self.downscale = 1
+        # panel state (ref gui.py:156-427: mode selector + bg color picker)
+        self.mode = "rgb"           # 'rgb' | 'depth'
+        self.bg_color = 1.0
 
     # -- training slice (adaptive like gui.py:106-111) -----------------------
     def train_steps(self):
@@ -137,8 +140,14 @@ class Viewer:
         out = self.model.render(
             jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"]),
             staged=True, max_ray_batch=4096,
+            bg_color=np.full((1, 3), self.bg_color, np.float32),
         )
-        img = np.clip(np.asarray(out["image"]).reshape(H, W, 3), 0, 1)
+        if self.mode == "depth":
+            d = np.asarray(out["depth"]).reshape(H, W)
+            d = d / max(float(d.max()), 1e-6)
+            img = np.repeat(d[..., None], 3, axis=-1)
+        else:
+            img = np.clip(np.asarray(out["image"]).reshape(H, W, 3), 0, 1)
         dt_ms = (time.perf_counter() - t0) * 1e3
         # adapt resolution toward the frame budget
         ratio = np.sqrt(dt_ms / self.render_budget_ms)

@@ -37,9 +37,26 @@ button,input{background:#222;color:#ddd;border:1px solid #555;margin:2px}
 <div>
  <button onclick="ctl({train:1})">start training</button>
  <button onclick="ctl({train:0})">stop</button>
+ <button onclick="ctl({save:1})">save ckpt</button>
+ <button onclick="ctl({mesh:1})">save mesh</button>
  fovy <input id="fovy" type="range" min="20" max="120" value="%(fovy)d"
    oninput="ctl({fovy:+this.value})"/>
  <button onclick="ctl({reset:1})">reset view</button>
+</div>
+<div>
+ mode <select onchange="ctl({mode:this.value})">
+   <option value="rgb">rgb</option><option value="depth">depth</option>
+ </select>
+ bg <select onchange="ctl({bg:+this.value})">
+   <option value="1">white</option><option value="0">black</option>
+   <option value="0.5">gray</option>
+ </select>
+ dt_gamma <input type="number" step="0.00390625" min="0" max="0.25"
+   value="%(dt_gamma)g" style="width:7em"
+   onchange="ctl({dt_gamma:+this.value})"/>
+ max_steps <input type="number" step="16" min="16" max="2048"
+   value="%(max_steps)d" style="width:6em"
+   onchange="ctl({max_steps:+this.value})"/>
 </div>
 <div id="stats"></div>
 <script>
@@ -73,12 +90,30 @@ class ViewerServer:
         self.stats = ""
         self.lock = threading.Lock()
         self._stop = threading.Event()
+        self._pending = []         # device-touching actions for _loop
 
     # -- the single JAX thread ------------------------------------------------
     def _loop(self):
         from PIL import Image
 
         while not self._stop.is_set():
+            while self._pending:
+                action = self._pending.pop(0)
+                try:
+                    if action == "save":
+                        path = self.viewer.trainer.save_checkpoint(full=True)
+                        print(f"[viewer] checkpoint saved: {path}", flush=True)
+                    elif action == "mesh":
+                        import os
+                        from .meshing import save_mesh
+                        path = os.path.join(
+                            self.viewer.trainer.workspace or ".", "mesh.ply"
+                        )
+                        save_mesh(self.viewer.model, path, resolution=128,
+                                  threshold=10)
+                        print(f"[viewer] mesh saved: {path}", flush=True)
+                except Exception as e:
+                    print(f"[viewer] {action} failed: {e}", flush=True)
             info = {}
             if self.training and self.viewer.train_loader is not None:
                 info = self.viewer.train_steps()
@@ -113,6 +148,27 @@ class ViewerServer:
             v.cam.center = np.zeros(3, np.float32)
         if "train" in msg:
             self.training = bool(msg["train"])
+        if msg.get("mode") in ("rgb", "depth"):
+            v.mode = msg["mode"]
+        if "bg" in msg:
+            v.bg_color = float(np.clip(msg["bg"], 0.0, 1.0))
+        # march-parameter panel (ref gui.py dt_gamma/max_steps sliders);
+        # rc is a frozen static config — replacing it recompiles the render
+        # on the next frame, exactly like the reference re-launching kernels
+        if "dt_gamma" in msg or "max_steps" in msg:
+            import dataclasses
+            m = v.model
+            m.rc = dataclasses.replace(
+                m.rc,
+                dt_gamma=float(msg.get("dt_gamma", m.rc.dt_gamma)),
+                max_steps=int(msg.get("max_steps", m.rc.max_steps)),
+            )
+        # save/mesh touch the device — queue them for the render thread so
+        # JAX dispatch stays single-threaded (see _loop)
+        if "save" in msg:
+            self._pending.append("save")
+        if "mesh" in msg:
+            self._pending.append("mesh")
 
     def serve(self, blocking=True):
         server_self = self
@@ -136,8 +192,10 @@ class ViewerServer:
                     self.wfile.write(frame)
                 else:
                     cam = server_self.viewer.cam
+                    rc = server_self.viewer.model.rc
                     body = (_PAGE % {
-                        "W": cam.W, "H": cam.H, "fovy": int(cam.fovy)
+                        "W": cam.W, "H": cam.H, "fovy": int(cam.fovy),
+                        "dt_gamma": rc.dt_gamma, "max_steps": rc.max_steps,
                     }).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")

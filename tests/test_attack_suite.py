@@ -59,7 +59,8 @@ class TestFinetuneAttack:
         o = np.asarray(rng.normal(0, 0.1, (16, 3)) - [2.0, 0, 0], np.float32)
         d = np.asarray(rng.normal([1, 0, 0], 0.05, (16, 3)), np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        loader = [{"content": {"rays_o": o, "rays_d": d}}]
+        gt = np.full((16, 3), 0.5, np.float32)
+        loader = [{"content": {"rays_o": o, "rays_d": d, "images": gt}}]
 
         bb_before = jax.tree_util.tree_map(np.asarray, m.backbone)
         tr_before = jax.tree_util.tree_map(np.asarray, m.trainable)
@@ -113,3 +114,21 @@ class TestAttackSweep:
                            n_test=2)
         assert set(res) == {"none", "brightness_1_5"}
         assert all(0.0 <= v <= 1.0 for v in res.values())
+
+    def test_whole_image_decoder_mode(self):
+        """Whole-image decoder modes (legacy / CopyRNeRF) extract from the
+        strided key image, not block bundles — the sweep must agree with
+        the trainer's ray selection (wm_rays)."""
+        D = 2
+        wcfg = WatermarkConfig(ngp=TINY, message_dim=D, msg_resolution=64,
+                               msg_log2_hashmap_size=10, whole_image=True)
+        m = WatermarkModel(wcfg=wcfg, grid_size=16, max_steps=32,
+                           infer_budget=8, train_budget=8)
+        m.occ = m.occ._replace(occupancy=m.occ.occupancy.at[:].set(True))
+        H = W = 12
+        ro = np.zeros((1, H, W, 3), np.float32) - 2.0
+        rd = np.tile(np.array([1, 0, 0], np.float32), (1, H, W, 1))
+        loader = [{"watermark": {"rays_o": ro, "rays_d": rd}}]
+        tr = StubTrainer(m, D)
+        res = attack_sweep(tr, loader, attacks=["none"], n_test=2)
+        assert 0.0 <= res["none"] <= 1.0

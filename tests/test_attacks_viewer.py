@@ -142,6 +142,24 @@ class TestViewerServer:
                 data=json.dumps({"orbit": [30, 10]}).encode(), method="POST")
             assert urllib.request.urlopen(req, timeout=5).status == 204
             assert not np.allclose(srv.viewer.cam.rot, rot_before)
+
+            # panel controls: mode/bg/dt_gamma/max_steps (ref gui.py sliders)
+            req = urllib.request.Request(
+                "http://127.0.0.1:7181/ctl",
+                data=json.dumps({"mode": "depth", "bg": 0.0,
+                                 "dt_gamma": 1 / 256, "max_steps": 64}
+                                ).encode(),
+                method="POST")
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+            assert srv.viewer.mode == "depth"
+            assert srv.viewer.bg_color == 0.0
+            assert srv.viewer.model.rc.dt_gamma == 1 / 256
+            assert srv.viewer.model.rc.max_steps == 64
+            # depth mode renders a frame too
+            time.sleep(1.0)
+            r = urllib.request.urlopen(
+                "http://127.0.0.1:7181/frame", timeout=10)
+            assert r.read()[:2] == b"\xff\xd8"
         finally:
             srv.stop()
 
