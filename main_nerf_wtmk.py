@@ -108,6 +108,7 @@ def main():
             attacked_bb = finetune_attack(
                 trainer, attack_loader, steps=opt.finetune_attack_steps,
                 lr=opt.finetune_attack_lr, num_rays=opt.num_rays,
+                full_backbone=opt.finetune_attack_full,
             )
             original_bb = model.backbone
             model.backbone = attacked_bb

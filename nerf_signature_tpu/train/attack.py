@@ -146,32 +146,41 @@ def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
     return attacked
 
 
-def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096):
+def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096,
+                    full_backbone=False):
     """Backbone finetuning attack on the watermarked model.
 
-    The adversary re-trains ONLY the backbone hash table (the reference's
-    trainable group is exactly ``self.encoder.parameters()``,
-    ``network_finetuning_attack_tcnn-checkpoint.py:231-241``) with an image
-    MSE against the training views' pseudo-GT (the reference fits
-    ``data['images']`` per batch, ``utils_finetuning_attack_disen-
-    checkpoint.py:559-586``, cycling over the dataset); the message pathway
-    stays active during the attack renders with a fixed all-ones message,
-    mirroring the reference's ``torch.randint(1, 2, ...)`` message
-    (``provider_wtmk-checkpoint.py:2383``).  Returns the attacked backbone
-    params; the caller re-runs ``test_bitacc`` with them to measure how much
-    of the watermark survives.
+    The adversary re-trains the backbone with an image MSE against the
+    training views' pseudo-GT (the reference fits ``data['images']`` per
+    batch, ``utils_finetuning_attack_disen-checkpoint.py:559-586``, cycling
+    over the dataset); the message pathway stays active during the attack
+    renders with a fixed all-ones message, mirroring the reference's
+    ``torch.randint(1, 2, ...)`` message (``provider_wtmk-checkpoint.py:
+    2383``).  Two trainable surfaces, matching the two reference variants:
+
+      * ``full_backbone=False``: ONLY the hash table — the finetuning-ATTACK
+        variant's group is exactly ``self.encoder.parameters()``
+        (``network_finetuning_attack_tcnn-checkpoint.py:231-241``),
+      * ``full_backbone=True``: encoder + sigma/dir/color nets — the
+        ``network_finetune_tcnn`` variant's four param groups
+        (``network_finetune_tcnn-checkpoint.py:257-268``).
+
+    Returns the attacked backbone params; the caller re-runs ``test_bitacc``
+    with them to measure how much of the watermark survives.
     """
     m = trainer.model
     orig_backbone = jax.tree_util.tree_map(jnp.copy, m.backbone)
+    keys = (list(orig_backbone) if full_backbone else ["hash_table"])
+    train0 = {k: orig_backbone[k] for k in keys}
     opt = optax.adam(lr)
-    opt_state = opt.init(orig_backbone["hash_table"])
+    opt_state = opt.init(train0)
 
     ones_msg = jnp.ones((m.wcfg.message_dim,), jnp.int32)
 
     @jax.jit
-    def step(hash_table, opt_state, rays_o, rays_d, target):
-        def loss_fn(ht):
-            bb = dict(orig_backbone, hash_table=ht)
+    def step(train_part, opt_state, rays_o, rays_d, target):
+        def loss_fn(tp):
+            bb = dict(orig_backbone, **tp)
             field = lambda x, d: wtmk_field(bb, m.trainable, m.wcfg, x, d,
                                             ones_msg)
             # render at the SAME budget the pseudo-GT targets were produced
@@ -183,11 +192,11 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096):
             )
             return jnp.mean((out["image"] - target) ** 2)
 
-        loss, grad = jax.value_and_grad(loss_fn)(hash_table)
-        updates, opt_state = opt.update(grad, opt_state, hash_table)
-        return optax.apply_updates(hash_table, updates), opt_state, loss
+        loss, grad = jax.value_and_grad(loss_fn)(train_part)
+        updates, opt_state = opt.update(grad, opt_state, train_part)
+        return optax.apply_updates(train_part, updates), opt_state, loss
 
-    ht = orig_backbone["hash_table"]
+    tp = train0
     loss = float("nan")
     done = 0
     while done < steps:  # cycle the loader: fresh rays/views every step
@@ -198,8 +207,9 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096):
             rays_o = jnp.asarray(ct["rays_o"]).reshape(-1, 3)[:num_rays]
             rays_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)[:num_rays]
             target = jnp.asarray(ct["images"]).reshape(-1, 3)[:num_rays]
-            ht, opt_state, loss = step(ht, opt_state, rays_o, rays_d, target)
+            tp, opt_state, loss = step(tp, opt_state, rays_o, rays_d, target)
             done += 1
     trainer.log(f"[finetune_attack] steps={steps} lr={lr} "
+                f"full_backbone={full_backbone} "
                 f"final adv loss={float(loss):.6f}")
-    return dict(orig_backbone, hash_table=ht)
+    return dict(orig_backbone, **tp)

@@ -151,6 +151,9 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
                              "(ref utils_finetuning_attack_disen)")
     parser.add_argument("--finetune_attack_steps", type=int, default=100)
     parser.add_argument("--finetune_attack_lr", type=float, default=1e-3)
+    parser.add_argument("--finetune_attack_full", action="store_true",
+                        help="finetune ALL backbone nets, not just the hash "
+                             "table (ref network_finetune_tcnn variant)")
     parser.add_argument(
         "--block_selection", type=str, default="jpeg",
         choices=["jpeg", "random"],

@@ -79,6 +79,18 @@ class TestFinetuneAttack:
                         jax.tree_util.tree_leaves(m.trainable)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+        # full-backbone variant (ref network_finetune_tcnn): the MLPs that
+        # shape the rendered image move too
+        attacked_full = finetune_attack(tr, loader, steps=2, lr=1e-2,
+                                        num_rays=16, full_backbone=True)
+        changed = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(bb_before["sigma_net"]),
+                            jax.tree_util.tree_leaves(
+                                attacked_full["sigma_net"]))
+        )
+        assert changed
+
 
 class TestRandomBlockSelection:
     def test_random_blocks_distinct_and_in_bounds(self):
