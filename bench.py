@@ -105,6 +105,47 @@ def main():
     losses = np.asarray(out[4])  # fetch all losses -> full materialisation
     dt = time.perf_counter() - t0
     assert np.isfinite(losses).all()
+    # the device loop donates its inputs; rebind to the live buffers
+    params, ema, opt_state, occ = out[:4]
+
+    if os.environ.get("BENCH_RENDER") == "1":
+        # inference throughput: staged occupancy render of a full 256x256
+        # view through the trained params.  Dispatched as 4-chunk lax.map
+        # programs (4 x 4096 rays x budget 128): large per-dispatch programs
+        # (16-chunk maps, budget 256) hang/crash the tunneled worker
+        # (PERF.md operational note), and this granularity matches what the
+        # staged renderer ships in production.
+        import functools
+
+        from nerf_signature_tpu.api import _render_occ_clean_staged
+
+        rays = get_rays(poses[:1], intrinsics, H, W, -1)
+        ro = np.asarray(rays["rays_o"][0].reshape(-1, 4, 4096, 3))
+        rd = np.asarray(rays["rays_d"][0].reshape(-1, 4, 4096, 3))
+        render = functools.partial(
+            _render_occ_clean_staged, params, occ.occupancy,
+            bg_color=1.0, cfg=cfg, rc=rc, budget=128,
+        )
+        float(jnp.sum(render(
+            rays_o_chunks=jnp.asarray(ro[0]), rays_d_chunks=jnp.asarray(rd[0])
+        )[0]))  # compile + warm
+        t0 = time.perf_counter()
+        s = 0.0
+        for g in range(ro.shape[0]):
+            s += float(jnp.sum(render(
+                rays_o_chunks=jnp.asarray(ro[g]),
+                rays_d_chunks=jnp.asarray(rd[g]),
+            )[0]))  # materialise = barrier
+        dt_r = time.perf_counter() - t0
+        assert np.isfinite(s)
+        rays_per_sec = H * W / dt_r
+        print(json.dumps({
+            "metric": "render_rays_per_sec",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        }))
+        return
 
     rays_per_sec = n_rays * n_steps / dt
     print(json.dumps({
