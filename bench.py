@@ -51,6 +51,9 @@ def main():
     cfg = NGPConfig(
         bound=1.0, compute_dtype=jnp.bfloat16,
         stochastic_hash_grad=os.environ.get("BENCH_EXACT") != "1",
+        # BENCH_DENSE=1: tcnn-style dense coarse levels (A/B the gather
+        # locality win; see ops.hashenc.level_sides)
+        dense_coarse=os.environ.get("BENCH_DENSE") == "1",
     )
     rc = RenderConfig(bound=1.0, grid_size=128, max_steps=1024)
     n_rays, budget = 4096, 128

@@ -33,6 +33,7 @@ def main():
         compute_dtype=jax.numpy.bfloat16 if opt.fp16 else jax.numpy.float32,
         bg_radius=opt.bg_radius,
         stochastic_hash_grad=opt.stochastic_hash_grad,
+        dense_coarse=opt.dense_coarse,
     )
     model = NGPModel(
         cfg, cuda_ray=opt.cuda_ray, min_near=opt.min_near,

@@ -22,7 +22,9 @@ from ..ops.hashenc import (
     hash_encode,
     hash_encode_2d,
     init_hash_table,
+    init_hash_table_sized,
     level_resolutions,
+    level_sides,
 )
 from ..ops.intersect import sph_from_ray
 from ..ops.sh import sh_encode
@@ -49,6 +51,11 @@ class NGPConfig:
     # table scatter updates, the train-step wall on TPU (PERF.md).  Off by
     # default for exact parity with the reference's gradients.
     stochastic_hash_grad: bool = False
+    # tcnn-style dense storage for coarse levels (collision-free, spatially
+    # ordered rows -> gather-engine locality; see ops.hashenc.level_sides).
+    # Off by default: the reference's pure-torch encoder hashes every level,
+    # and .pth ingestion parity assumes the hashed layout unless densified.
+    dense_coarse: bool = False
     # background-sphere model (bg_radius > 0 enables it).  The reference's
     # active networks reference a ``bg_net`` in ``get_params``
     # (``nerf/network_hash.py:164``) but never define it — ``bg_radius > 0``
@@ -69,6 +76,12 @@ class NGPConfig:
                 self.n_levels, self.base_resolution, self.finest_resolution
             ).tolist()
         )
+
+    @property
+    def dense_sides(self):
+        if not self.dense_coarse:
+            return None
+        return level_sides(self.resolutions, self.log2_hashmap_size, True)
 
     @property
     def enc_dim(self):
@@ -101,8 +114,14 @@ def init_ngp_params(key, cfg: NGPConfig) -> Dict[str, Any]:
         + [3]
     )
     params = {
-        "hash_table": init_hash_table(
-            k_hash, cfg.n_levels, cfg.n_features, cfg.log2_hashmap_size
+        "hash_table": (
+            init_hash_table_sized(
+                k_hash, cfg.dense_sides, cfg.n_features, cfg.log2_hashmap_size
+            )
+            if cfg.dense_coarse else
+            init_hash_table(
+                k_hash, cfg.n_levels, cfg.n_features, cfg.log2_hashmap_size
+            )
         ),
         "sigma_net": init_mlp(k_sigma, sigma_dims),
         "color_net": init_mlp(k_color, color_dims),
@@ -129,6 +148,7 @@ def _encode_pos(params, cfg: NGPConfig, x):
         x01, params["hash_table"], cfg.resolutions, cfg.log2_hashmap_size,
         gather_dtype=jnp.dtype(cfg.compute_dtype).name,
         stochastic_grad=cfg.stochastic_hash_grad,
+        dense_sides=cfg.dense_sides,
     )
 
 

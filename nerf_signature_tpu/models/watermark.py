@@ -130,6 +130,7 @@ def _encode_with_message(backbone, trainable, cfg: WatermarkConfig, x, message):
     feat = hash_encode(
         x01, backbone["hash_table"], ngp.resolutions, ngp.log2_hashmap_size,
         gather_dtype=jnp.dtype(ngp.compute_dtype).name,
+        dense_sides=ngp.dense_sides,
     )
     if message is not None and not cfg.copyrnerf:
         msg_feat = _msg_feature(trainable, cfg, x01, message)

@@ -59,6 +59,41 @@ def init_hash_table(key, n_levels, n_features, log2_hashmap_size, dtype=jnp.floa
     )
 
 
+def level_sides(resolutions, log2_hashmap_size, dense_coarse):
+    """Per-level DENSE grid side (res + 2: floor cell can be ``res`` at
+    x == 1, +1 for the high corner), or 0 where the level stays hashed.
+
+    dense_coarse=True stores coarse levels densely like tinycudann (the
+    reference's pure-torch encoder hashes every level): a level is dense
+    when its full grid fits in the 2**S hashed budget.  Dense rows are
+    collision-free AND spatially ordered — coherent rays hit neighbouring
+    rows, which the gather engine rewards (measured ~2x at 4k-row tables
+    even with RANDOM indices, scripts_dev gather-size probe)."""
+    sides = []
+    for r in resolutions:
+        side = int(r) + 2
+        sides.append(side if (dense_coarse and side**3 <= (1 << log2_hashmap_size))
+                     else 0)
+    return tuple(sides)
+
+
+def level_row_counts(sides, log2_hashmap_size):
+    """Rows per level: side**3 for dense levels, 2**S for hashed ones."""
+    return np.array(
+        [s**3 if s else (1 << log2_hashmap_size) for s in sides], np.int64
+    )
+
+
+def init_hash_table_sized(key, sides, n_features, log2_hashmap_size,
+                          dtype=jnp.float32):
+    """Multiresolution table with per-level dense/hashed row counts:
+    ``[sum(level_row_counts), F]``, init U(-1e-4, 1e-4)."""
+    size = int(level_row_counts(sides, log2_hashmap_size).sum())
+    return jax.random.uniform(
+        key, (size, n_features), dtype=dtype, minval=-1e-4, maxval=1e-4
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _make_gather_rows(T, F, table_dtype, gather_dtype):
     """Row gather ``table.astype(gather_dtype)[idx]`` with an asymmetric
@@ -177,11 +212,12 @@ def _hash3(cx, cy, cz, log2_hashmap_size):
 @functools.partial(
     jax.jit,
     static_argnames=("log2_hashmap_size", "resolutions_key", "gather_dtype",
-                     "stochastic_grad", "shared_table"),
+                     "stochastic_grad", "shared_table", "dense_sides"),
 )
 def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
                       resolutions_key, gather_dtype=None,
-                      stochastic_grad=False, shared_table=False):
+                      stochastic_grad=False, shared_table=False,
+                      dense_sides=None):
     del resolutions_key  # keys the jit cache on the level config
     L = resolutions.shape[0]
     F = table.shape[-1]
@@ -202,10 +238,27 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
         # one [2**S, F] table shared by every level (codebook message encoder
         # in 'all-levels' ablation mode): no per-level offset into the rows
         level_offset = jnp.zeros((1, 1), jnp.uint32)
+    elif dense_sides is not None and any(dense_sides):
+        counts = level_row_counts(dense_sides, log2_hashmap_size)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        level_offset = jnp.asarray(offs.astype(np.uint32))[:, None]
     else:
         level_offset = (
             jnp.arange(L, dtype=jnp.uint32) << jnp.uint32(log2_hashmap_size)
         )[:, None]
+    if dense_sides is not None and any(dense_sides):
+        # dense coarse levels: collision-free row-major linear index instead
+        # of the spatial hash (see ``level_sides``).  Computed for every
+        # level (cheap VPU fma) and selected per level; hashed levels keep
+        # the hash index.
+        sides_arr = jnp.asarray(
+            np.array(dense_sides, np.uint32).reshape(L, 1)
+        )
+        dense_mask = jnp.asarray(
+            np.array([s > 0 for s in dense_sides]).reshape(L, 1)
+        )
+    else:
+        sides_arr = None
 
     # static corner loop: accumulate weight * gathered feature ROW.  One row
     # gather ``table[idx] -> [L, M, F]`` per corner beats per-feature scalar
@@ -221,12 +274,13 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
 
     idxs, cws = [], []
     for (di, dj, dk) in _CORNERS:
-        idx = _hash3(
-            cell[0] + jnp.uint32(di),
-            cell[1] + jnp.uint32(dj),
-            cell[2] + jnp.uint32(dk),
-            log2_hashmap_size,
-        )
+        cx = cell[0] + jnp.uint32(di)
+        cy = cell[1] + jnp.uint32(dj)
+        cz = cell[2] + jnp.uint32(dk)
+        idx = _hash3(cx, cy, cz, log2_hashmap_size)
+        if sides_arr is not None:
+            idx_dense = (cx * sides_arr + cy) * sides_arr + cz
+            idx = jnp.where(dense_mask, idx_dense, idx)
         idxs.append((idx + level_offset).astype(jnp.int32))
         cws.append(
             (w[0] if di else 1.0 - w[0])
@@ -272,7 +326,7 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
 
 
 def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
-                stochastic_grad=False, shared_table=False):
+                stochastic_grad=False, shared_table=False, dense_sides=None):
     """Encode positions x in [0, 1]^3 -> [N, L*F] features.
 
     x: [N, 3] float; table: [L * 2**S, F]; resolutions: numpy array [L].
@@ -285,12 +339,16 @@ def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
     you differentiate w.r.t. x.
     shared_table: table is ONE [2**S, F] level-shared table instead of
     [L * 2**S, F] (message-encoder 'all-levels' ablation).
+    dense_sides: optional per-level tuple from ``level_sides`` — nonzero
+    entries mark DENSE levels (side**3 rows, row-major linear index); the
+    table then has ``sum(level_row_counts)`` rows.
     """
     res = jnp.asarray(resolutions, dtype=jnp.float32)
     return _hash_encode_impl(
         x, table, res, log2_hashmap_size,
         tuple(np.asarray(resolutions).tolist()), gather_dtype=gather_dtype,
         stochastic_grad=stochastic_grad, shared_table=shared_table,
+        dense_sides=dense_sides,
     )
 
 

@@ -78,6 +78,26 @@ def ingest_clean_pth(path, cfg):
 
     n_levels = cfg.n_levels
     tables = [state[f"encoder.embeddings.{i}.weight"] for i in range(n_levels)]
+    if cfg.dense_coarse:
+        # densify coarse levels: copy the hashed row every dense cell maps
+        # to.  Colliding cells share one row upstream, so each dense cell
+        # receives exactly the value the reference would have looked up —
+        # the encode output is bit-identical (gradients then diverge:
+        # collision-free training, which is the point of dense storage).
+        from ..ops.hashenc import _hash3, level_sides
+        import jax.numpy as jnp
+
+        sides = level_sides(cfg.resolutions, cfg.log2_hashmap_size, True)
+        for i, side in enumerate(sides):
+            if not side:
+                continue
+            ax = np.arange(side, dtype=np.uint32)
+            cx, cy, cz = np.meshgrid(ax, ax, ax, indexing="ij")
+            h = np.asarray(_hash3(jnp.asarray(cx.ravel()),
+                                  jnp.asarray(cy.ravel()),
+                                  jnp.asarray(cz.ravel()),
+                                  cfg.log2_hashmap_size))
+            tables[i] = tables[i][h]
     hash_table = np.concatenate(tables, axis=0).astype(np.float32)
 
     sigma_dims = [cfg.enc_dim] + [cfg.hidden_dim] * (cfg.num_layers - 1) + [

@@ -73,6 +73,11 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="exact-forward, one-corner unbiased-stochastic "
                              "hash-table gradients (~8x fewer scatter "
                              "updates, the TPU train-step wall; see PERF.md)")
+    parser.add_argument("--dense_coarse", action="store_true",
+                        help="tcnn-style dense (collision-free, spatially "
+                             "ordered) storage for coarse hash levels — "
+                             "gather-engine locality; breaks .pth table "
+                             "bit-layout (ingest densifies automatically)")
     parser.add_argument("--train_budget", type=int, default=128,
                         help="static per-ray sample budget (auto-adapted)")
     parser.add_argument("--infer_budget", type=int, default=256)

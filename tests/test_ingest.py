@@ -122,3 +122,39 @@ class TestWtmkIngest:
         # conv HWIO layout
         assert trainable["decoder"]["blocks"][0]["conv"]["w"].shape == (3, 3, 3, 64)
         assert trainable["decoder"]["head"]["conv"]["w"].shape == (3, 3, 64, 1)
+
+
+class TestDenseCoarseIngest:
+    def test_densified_encode_matches_hashed(self, tmp_path):
+        """Ingesting with dense_coarse=True must reproduce the hashed
+        layout's encode output exactly (dense[cell] = hashed[hash(cell)])."""
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_signature_tpu.ops.hashenc import hash_encode
+
+        rng = np.random.default_rng(3)
+        cfg_h = NGPConfig(n_levels=4, log2_hashmap_size=10,
+                          base_resolution=4, finest_resolution=64)
+        cfg_d = NGPConfig(n_levels=4, log2_hashmap_size=10,
+                          base_resolution=4, finest_resolution=64,
+                          dense_coarse=True)
+        state, _, _ = _make_clean_state(
+            NGPConfig(n_levels=4, log2_hashmap_size=10), rng
+        )
+        path = str(tmp_path / "clean_dc.pth")
+        torch.save({"model": state}, path)
+
+        ph, _ = ingest_clean_pth(path, cfg_h)
+        pd, _ = ingest_clean_pth(path, cfg_d)
+        assert any(cfg_d.dense_sides)
+        assert pd["hash_table"].shape[0] != ph["hash_table"].shape[0]
+
+        x = jax.random.uniform(jax.random.PRNGKey(0), (64, 3))
+        out_h = hash_encode(x, jnp.asarray(ph["hash_table"]),
+                            cfg_h.resolutions, 10)
+        out_d = hash_encode(x, jnp.asarray(pd["hash_table"]),
+                            cfg_d.resolutions, 10,
+                            dense_sides=cfg_d.dense_sides)
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_d),
+                                   rtol=1e-6)

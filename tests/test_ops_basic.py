@@ -212,3 +212,86 @@ class TestSamplePDF:
         # nearly all samples must land in [0.5, 0.625]
         frac = jnp.mean((s >= 0.5) & (s <= 0.625))
         assert float(frac) > 0.9
+
+
+class TestDenseCoarseLevels:
+    """tcnn-style dense storage for coarse levels (ops.hashenc.level_sides):
+    forward parity with the hashed layout after densification, and
+    collision-free gradients."""
+
+    def test_densified_forward_matches_hashed(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_signature_tpu.ops.hashenc import (
+            _hash3, hash_encode, init_hash_table, level_resolutions,
+            level_row_counts, level_sides,
+        )
+
+        L, F, S = 3, 2, 10
+        res = level_resolutions(L, 4, 64)          # 4, 16, 64
+        sides = level_sides(res, S, True)
+        assert sides[0] > 0 and sides[-1] == 0      # coarse dense, fine hashed
+
+        table_h = init_hash_table(jax.random.PRNGKey(0), L, F, S)
+        # densify exactly like torch_ingest: dense[cell] = hashed[hash(cell)]
+        parts = []
+        for i, side in enumerate(sides):
+            lvl = table_h[i * (1 << S):(i + 1) * (1 << S)]
+            if side:
+                ax = np.arange(side, dtype=np.uint32)
+                cx, cy, cz = np.meshgrid(ax, ax, ax, indexing="ij")
+                h = np.asarray(_hash3(jnp.asarray(cx.ravel()),
+                                      jnp.asarray(cy.ravel()),
+                                      jnp.asarray(cz.ravel()), S))
+                parts.append(np.asarray(lvl)[h])
+            else:
+                parts.append(np.asarray(lvl))
+        table_d = jnp.asarray(np.concatenate(parts, axis=0))
+        assert table_d.shape[0] == level_row_counts(sides, S).sum()
+
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        out_h = hash_encode(x, table_h, res, S)
+        out_d = hash_encode(x, table_d, res, S, dense_sides=sides)
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_d),
+                                   rtol=1e-6)
+
+    def test_dense_grad_is_collision_free(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_signature_tpu.ops.hashenc import (
+            hash_encode, init_hash_table_sized, level_resolutions,
+            level_sides,
+        )
+
+        L, F, S = 2, 2, 10
+        res = level_resolutions(L, 4, 8)
+        sides = level_sides(res, S, True)
+        assert all(s > 0 for s in sides)
+        table = init_hash_table_sized(jax.random.PRNGKey(0), sides, F, S)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+
+        g = jax.grad(
+            lambda t: jnp.sum(hash_encode(x, t, res, S, dense_sides=sides))
+        )(table)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_ngp_model_with_dense_coarse(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_signature_tpu.models.ngp import (
+            NGPConfig, init_ngp_params, ngp_field,
+        )
+
+        cfg = NGPConfig(n_levels=4, log2_hashmap_size=10,
+                        finest_resolution=64, compute_dtype=jnp.float32,
+                        dense_coarse=True)
+        p = init_ngp_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1,
+                               maxval=1)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (32, 1))
+        sigma, rgb = ngp_field(p, cfg, x, d)
+        assert sigma.shape == (32,) and rgb.shape == (32, 3)
+        assert np.isfinite(np.asarray(sigma)).all()
