@@ -134,9 +134,17 @@ def main():
         train_loader = make_loader("train", opt.n_views, 100, fresh_keys=fresh)
         test_bitacc_loader = make_loader("test", opt.n_views, opt.n_test_bitacc)
         test_image_loader = make_loader("test_image", opt.num_images_test, 4)
-        max_epoch = int(np.ceil(opt.iters / len(train_loader)))
-        trainer.train(train_loader, test_image_loader, test_bitacc_loader,
-                      max_epoch)
+        if opt.steps_per_dispatch > 0:
+            trainer.train_device(
+                train_loader, opt.iters,
+                steps_per_dispatch=opt.steps_per_dispatch,
+                test_image_loader=test_image_loader,
+                test_bitacc_loader=test_bitacc_loader,
+            )
+        else:
+            max_epoch = int(np.ceil(opt.iters / len(train_loader)))
+            trainer.train(train_loader, test_image_loader,
+                          test_bitacc_loader, max_epoch)
         trainer.test_image(
             make_loader("test_image_testviews", opt.num_images_test, 4),
             name="test_image_from_testviews",

@@ -173,6 +173,76 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("wcfg", "rc", "budget", "block_budget", "opt_update",
+                     "distortion", "loss_kind", "n_steps", "num_rays",
+                     "H", "W"),
+    donate_argnums=(1, 2),
+)
+def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
+                    rays_d_b, poses, images, intrinsics, key, lambda_w,
+                    lambda_i, wcfg, rc, budget, block_budget, opt_update,
+                    distortion, loss_kind, n_steps, num_rays, H, W):
+    """K watermark steps per dispatch, the wm-stage analogue of
+    ``train/device_loop.device_train_loop``: fresh random message, content
+    pose/pixel sampling, block render + distort + decode, content MSE, and
+    Adam — all inside ONE ``lax.scan`` program (zero host round-trips per
+    step; the pseudo-GT pool lives in HBM).
+
+    poses: [P, 4, 4]; images: [P, H*W, 3] (pseudo-GT);
+    rays_*_b: the static key-block bundles.
+    Returns (trainable, opt_state, losses/lossw/lossi [n_steps]).
+    """
+    from .device_loop import rays_from_pixels
+
+    P = poses.shape[0]
+    intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
+    loss_w_fn = make_loss_w(loss_kind)
+    bg_fn = _bg_fn(backbone, wcfg)
+
+    def body(carry, k):
+        trainable, opt_state = carry
+        km, kp, ki, kd = jax.random.split(k, 4)
+        message = jax.random.randint(km, (wcfg.message_dim,), 0, 2)
+        pidx = jax.random.randint(kp, (), 0, P)
+        pix = jax.random.randint(ki, (num_rays,), 0, H * W)
+        ct_o, ct_d = rays_from_pixels(poses[pidx], intr, pix, H, W)
+        gt = images[pidx, pix]
+
+        def loss_fn(tr):
+            blocks = _render_blocks(
+                backbone, tr, occupancy, rays_o_b, rays_d_b, message,
+                wcfg, rc, block_budget,
+            )
+            decoded = hidden_decoder_apply(
+                tr["decoder"], wcfg.decoder,
+                _distort_and_normalize(kd, blocks, distortion),
+            )
+            lossw = loss_w_fn(decoded.reshape(-1),
+                              message.astype(jnp.float32).reshape(-1))
+            field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
+            out = render_rays_occ(
+                field, occupancy, ct_o, ct_d, rc, budget=budget,
+                bg_color=1.0, bg_fn=bg_fn,
+            )
+            lossi = jnp.mean((out["image"] - gt) ** 2)
+            return lambda_w * lossw + lambda_i * lossi, (lossw, lossi)
+
+        (loss, (lossw, lossi)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable)
+        updates, opt_state = opt_update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return (trainable, opt_state), (loss, lossw, lossi)
+
+    keys = jax.random.split(key, n_steps)
+    (trainable, opt_state), (losses, lossws, lossis) = jax.lax.scan(
+        body, (trainable, opt_state), keys
+    )
+    return trainable, opt_state, losses, lossws, lossis
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("wcfg", "rc", "budget", "distortion"),
 )
 def _wtmk_decode_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
@@ -378,6 +448,68 @@ class WatermarkTrainer:
                 prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
             if self.global_step >= self.opt.iters:
                 break
+        if self.workspace:
+            self.save_checkpoint(full=True)
+
+    def train_device(self, train_loader, max_steps=None,
+                     steps_per_dispatch=256, test_image_loader=None,
+                     test_bitacc_loader=None):
+        """Fully on-device wm training (``_wm_device_loop``): K steps per
+        dispatch, pseudo-GT pool + key-block bundles preloaded to HBM.
+        Single-chip (use the per-step path with ``--devices`` for sharded
+        training); evals run host-side between dispatches."""
+        m = self.model
+        max_steps = max_steps or self.opt.iters
+        if m.use_occ and getattr(train_loader, "poses", None) is not None:
+            m.mark_untrained_grid(train_loader.poses, train_loader.intrinsics)
+        if self.workspace and getattr(train_loader, "images_block", None) is not None:
+            self._save_gt_blocks(train_loader)
+
+        wm = next(iter(train_loader))["watermark"]
+        ro_b, rd_b = self._wm_rays(wm)
+        ro_b, rd_b = jnp.asarray(ro_b), jnp.asarray(rd_b)
+        P = len(train_loader.poses)
+        poses = jnp.asarray(np.asarray(train_loader.poses, np.float32))
+        images = jnp.asarray(
+            np.asarray(train_loader.train_images, np.float32).reshape(P, -1, 3)
+        )
+        intr = jnp.asarray(np.asarray(train_loader.intrinsics, np.float32))
+        H, W = train_loader.H, train_loader.W
+
+        start = time.time()
+        while self.global_step < max_steps:
+            k = min(steps_per_dispatch, max_steps - self.global_step)
+            (m.trainable, self.opt_state, losses, lossws, lossis
+             ) = _wm_device_loop(
+                m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
+                ro_b, rd_b, poses, images, intr, m._next_key(),
+                jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
+                m.wcfg, m.rc, m.train_budget, m.infer_budget,
+                self.optimizer.update, self.distortion, self.loss_kind,
+                k, self.opt.num_rays, H, W,
+            )
+            losses = np.asarray(losses)
+            self.global_step += k
+            self.epoch += 1
+            rays_s = k * self.opt.num_rays / max(time.time() - start, 1e-9)
+            self.log(
+                f"[wm device loop] step={self.global_step}/{max_steps} "
+                f"loss={losses[-1]:.6f} lossw={float(np.asarray(lossws)[-1]):.6f} "
+                f"lossi={float(np.asarray(lossis)[-1]):.6f} "
+                f"({rays_s / 1e6:.2f}M rays/s)"
+            )
+            self.log_metrics(loss=float(losses.mean()),
+                             lossw=float(np.asarray(lossws).mean()),
+                             lossi=float(np.asarray(lossis).mean()),
+                             rays_per_sec=rays_s)
+            start = time.time()
+            if test_bitacc_loader is not None and self.epoch % self.eval_interval == 0:
+                self.test_bitacc(test_bitacc_loader)
+            if test_image_loader is not None and self.epoch % self.eval_interval == 0:
+                self.test_image(test_image_loader)
+            if self.workspace and self.epoch % self.save_interval == 0:
+                self.save_checkpoint(full=True)
+                prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
         if self.workspace:
             self.save_checkpoint(full=True)
 

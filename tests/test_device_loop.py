@@ -62,3 +62,49 @@ class TestDeviceLoop:
         assert int(occ2.iter_density) == 4
         # learning happened
         assert losses[-4:].mean() < losses[:4].mean()
+
+
+class TestWmDeviceLoop:
+    def test_runs_and_updates_trainable_only(self):
+        from nerf_signature_tpu.api import WatermarkModel
+        from nerf_signature_tpu.models.watermark import WatermarkConfig
+        from nerf_signature_tpu.train.trainer_wtmk import _wm_device_loop
+
+        D, bh, bw = 2, 4, 4
+        wcfg = WatermarkConfig(ngp=TINY, message_dim=D, msg_resolution=64,
+                               msg_log2_hashmap_size=10)
+        m = WatermarkModel(wcfg=wcfg, grid_size=16, max_steps=32,
+                           train_budget=8, infer_budget=8)
+        m.occ = m.occ._replace(occupancy=m.occ.occupancy.at[:].set(True))
+        optimizer = make_optimizer(1e-2, 16)
+        opt_state = optimizer.init(m.trainable)
+
+        rng = np.random.default_rng(0)
+        H = W = 16
+        poses = jnp.asarray(rand_poses(rng, 3, radius=1.5))
+        intr = jnp.asarray([20.0, 20.0, 8.0, 8.0])
+        images = jnp.full((3, H * W, 3), 0.5)
+        ro_b = jnp.zeros((D, bh, bw, 3)) - 2.0
+        rd_b = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (D, bh, bw, 1))
+
+        bb_before = jax.tree_util.tree_map(np.asarray, m.backbone)
+        tr_before = jax.tree_util.tree_map(np.asarray, m.trainable)
+        trainable, opt_state, losses, lossws, lossis = _wm_device_loop(
+            m.backbone, m.trainable, opt_state, m.occ.occupancy, ro_b, rd_b,
+            poses, images, intr, jax.random.PRNGKey(1),
+            jnp.float32(1.0), jnp.float32(1.0), wcfg, m.rc, 8, 8,
+            optimizer.update, "none", "bce", 4, 32, H, W,
+        )
+        assert np.asarray(losses).shape == (4,)
+        assert np.isfinite(np.asarray(losses)).all()
+        assert np.isfinite(np.asarray(lossws)).all()
+        # trainable moved, backbone untouched (structural freeze)
+        changed = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(tr_before),
+                            jax.tree_util.tree_leaves(trainable))
+        )
+        assert changed
+        for a, b in zip(jax.tree_util.tree_leaves(bb_before),
+                        jax.tree_util.tree_leaves(m.backbone)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
