@@ -150,6 +150,58 @@ def main():
         }))
         return
 
+    if os.environ.get("BENCH_WM") == "1":
+        # watermark-stage step throughput at the paper's headline shapes:
+        # 16-bit message, 16 8x8 key blocks + 4096 content rays per step,
+        # all inside the _wm_device_loop scan
+        from nerf_signature_tpu.models.watermark import (
+            WatermarkConfig, init_watermark_params,
+        )
+        from nerf_signature_tpu.train.trainer_wtmk import _wm_device_loop
+
+        D, bh, bw = 16, 8, 8
+        wcfg = WatermarkConfig(ngp=cfg, message_dim=D)
+        p = init_watermark_params(jax.random.PRNGKey(0), wcfg)
+        backbone = dict(p["backbone"], hash_table=params["hash_table"],
+                        sigma_net=params["sigma_net"],
+                        color_net=params["color_net"])
+        wm_opt = make_optimizer(1e-2, 30000)
+        wm_state = wm_opt.init(p["trainable"])
+        # key blocks: ray bundles from the first pose's image corner grid
+        rays = get_rays(poses[:1], intrinsics, H, W, -1)
+        ro = rays["rays_o"][0].reshape(H, W, 3)
+        rd = rays["rays_d"][0].reshape(H, W, 3)
+        ro_b = jnp.asarray(np.stack(
+            [ro[i * bh:(i + 1) * bh, :bw] for i in range(D)]))
+        rd_b = jnp.asarray(np.stack(
+            [rd[i * bh:(i + 1) * bh, :bw] for i in range(D)]))
+        imgs3 = images[..., :3]
+
+        def run_wm(trainable, state, key):
+            return _wm_device_loop(
+                backbone, trainable, state, occ.occupancy, ro_b, rd_b,
+                poses_d, imgs3, intr_d, key, jnp.float32(0.005),
+                jnp.float32(1.0), wcfg, rc, budget, budget,
+                wm_opt.update, "none", "bce", n_steps, n_rays, H, W,
+            )
+
+        out = run_wm(p["trainable"], wm_state, jax.random.PRNGKey(3))
+        np.asarray(out[2])  # compile + force
+        trainable, wm_state = out[0], out[1]
+        t0 = time.perf_counter()
+        out = run_wm(trainable, wm_state, jax.random.PRNGKey(4))
+        losses = np.asarray(out[2])
+        dt_w = time.perf_counter() - t0
+        assert np.isfinite(losses).all()
+        rays_per_sec = (n_rays + D * bh * bw) * n_steps / dt_w
+        print(json.dumps({
+            "metric": "wm_train_rays_per_sec",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        }))
+        return
+
     rays_per_sec = n_rays * n_steps / dt
     print(json.dumps({
         "metric": "train_rays_per_sec",

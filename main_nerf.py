@@ -21,6 +21,8 @@ def main():
 
     if opt.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if opt.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     from nerf_signature_tpu.api import NGPModel
     from nerf_signature_tpu.data.provider import NeRFDataset

@@ -93,6 +93,10 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--profile", action="store_true",
                         help="dump a jax.profiler trace of the first training "
                              "steps to <workspace>/profile")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="enable jax_debug_nans (the reference's "
+                             "commented torch set_detect_anomaly, "
+                             "main_nerf.py:8)")
     # prewatermarking baseline (2D-watermark-then-train; ref stale snapshot
     # utils_wtmk_pre-checkpoint.py / NeRFDataset_Prewatermarking)
     parser.add_argument("--prewatermark", action="store_true",
