@@ -46,21 +46,31 @@ def rays_from_pixels(pose, intrinsics, pix, H, W):
     jax.jit,
     static_argnames=("cfg", "rc", "budget", "opt_update", "has_alpha",
                      "ema_decay", "n_steps", "num_rays", "H", "W",
-                     "update_interval", "density_thresh", "grid_full_until"),
+                     "update_interval", "density_thresh", "grid_full_until",
+                     "mesh"),
     donate_argnums=(0, 1, 2, 3),
 )
 def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                       images, intrinsics, key, step0, cfg, rc, budget,
                       opt_update, has_alpha, ema_decay, n_steps, num_rays,
                       H, W, update_interval=16, density_thresh=0.01,
-                      grid_full_until=16):
+                      grid_full_until=16, mesh=None):
     """Run ``n_steps`` training steps on device.
 
     poses: [P, 4, 4]; images: [P, H*W, C] (preloaded); intrinsics: [4].
+    mesh: optional 1-D "rays" Mesh — the per-step ray batch is sharded over
+    it INSIDE the scan (params replicated; GSPMD inserts the gradient psum
+    over ICI), combining multi-chip DP with the K-steps-per-dispatch loop.
     Returns (params, ema, opt_state, occ, losses [n_steps], mean_occupied).
     """
     P = poses.shape[0]
     intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        _shard_rays = NamedSharding(mesh, PartitionSpec("rays"))
+        shard = lambda x: jax.lax.with_sharding_constraint(x, _shard_rays)
+    else:
+        shard = lambda x: x
 
     def maybe_update_grid(occ, params, k, step):
         def do_update(occ):
@@ -90,7 +100,8 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
         pidx = jax.random.randint(kp, (), 0, P)
         pix = jax.random.randint(ki, (num_rays,), 0, H * W)
         rays_o, rays_d = rays_from_pixels(poses[pidx], intr, pix, H, W)
-        img = images[pidx, pix]  # [N, C]
+        rays_o, rays_d = shard(rays_o), shard(rays_d)
+        img = shard(images[pidx, pix])  # [N, C]
 
         if has_alpha and not cfg.bg_radius > 0:
             bg = jax.random.uniform(kbg, (num_rays, 3))

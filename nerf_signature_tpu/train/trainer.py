@@ -342,6 +342,7 @@ class Trainer:
                 self.ema_decay, k, self.opt.num_rays, H, W,
                 update_interval=getattr(self.opt, "update_extra_interval", 16),
                 density_thresh=m.density_thresh,
+                mesh=self.mesh,
             )
             losses = np.asarray(losses)
             self.global_step += k

@@ -175,13 +175,14 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
     jax.jit,
     static_argnames=("wcfg", "rc", "budget", "block_budget", "opt_update",
                      "distortion", "loss_kind", "n_steps", "num_rays",
-                     "H", "W"),
+                     "H", "W", "mesh"),
     donate_argnums=(1, 2),
 )
 def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
                     rays_d_b, poses, images, intrinsics, key, lambda_w,
                     lambda_i, wcfg, rc, budget, block_budget, opt_update,
-                    distortion, loss_kind, n_steps, num_rays, H, W):
+                    distortion, loss_kind, n_steps, num_rays, H, W,
+                    mesh=None):
     """K watermark steps per dispatch, the wm-stage analogue of
     ``train/device_loop.device_train_loop``: fresh random message, content
     pose/pixel sampling, block render + distort + decode, content MSE, and
@@ -198,6 +199,14 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
     intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
     loss_w_fn = make_loss_w(loss_kind)
     bg_fn = _bg_fn(backbone, wcfg)
+    if mesh is not None:
+        # content rays sharded over the mesh inside the scan (params/blocks
+        # replicated; GSPMD inserts the grad psum over ICI)
+        from jax.sharding import NamedSharding, PartitionSpec
+        _shard_rays = NamedSharding(mesh, PartitionSpec("rays"))
+        shard = lambda x: jax.lax.with_sharding_constraint(x, _shard_rays)
+    else:
+        shard = lambda x: x
 
     def body(carry, k):
         trainable, opt_state = carry
@@ -206,7 +215,8 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
         pidx = jax.random.randint(kp, (), 0, P)
         pix = jax.random.randint(ki, (num_rays,), 0, H * W)
         ct_o, ct_d = rays_from_pixels(poses[pidx], intr, pix, H, W)
-        gt = images[pidx, pix]
+        ct_o, ct_d = shard(ct_o), shard(ct_d)
+        gt = shard(images[pidx, pix])
 
         def loss_fn(tr):
             blocks = _render_blocks(
@@ -456,8 +466,8 @@ class WatermarkTrainer:
                      test_bitacc_loader=None):
         """Fully on-device wm training (``_wm_device_loop``): K steps per
         dispatch, pseudo-GT pool + key-block bundles preloaded to HBM.
-        Single-chip (use the per-step path with ``--devices`` for sharded
-        training); evals run host-side between dispatches."""
+        With ``--devices N`` the content-ray batch is sharded over the mesh
+        inside the scan; evals run host-side between dispatches."""
         m = self.model
         max_steps = max_steps or self.opt.iters
         if m.use_occ and getattr(train_loader, "poses", None) is not None:
@@ -486,7 +496,7 @@ class WatermarkTrainer:
                 jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
                 m.wcfg, m.rc, m.train_budget, m.infer_budget,
                 self.optimizer.update, self.distortion, self.loss_kind,
-                k, self.opt.num_rays, H, W,
+                k, self.opt.num_rays, H, W, mesh=self.mesh,
             )
             losses = np.asarray(losses)
             self.global_step += k
