@@ -38,7 +38,9 @@ def freq_encode(x, n_freqs):
 
     Layout: everything stays flat [..., C*n_freqs] (sample-minor) — no
     [N, C, n_freqs]-style small-minor intermediate for TPU register tiling
-    to pad (CLAUDE.md layout rule)."""
+    to pad (CLAUDE.md layout rule).  Feature ORDER (all sins channel-major,
+    then all coses) is an internal convention consumed only by the jointly
+    trained msg MLP — checkpoints pin it from their first training step."""
     C = x.shape[-1]
     freqs = np.tile((2.0 ** np.arange(n_freqs)).astype(np.float32) * np.pi, C)
     ang = jnp.repeat(x, n_freqs, axis=-1) * freqs  # [..., C * n_freqs]

@@ -234,6 +234,9 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
     w = [(s - f).astype(table.dtype) for s, f in zip(scaled, floor)]
     cell = [f.astype(jnp.uint32) for f in floor]
 
+    if shared_table and dense_sides is not None:
+        raise ValueError("shared_table and dense_sides are mutually "
+                         "exclusive addressing schemes")
     if shared_table:
         # one [2**S, F] table shared by every level (codebook message encoder
         # in 'all-levels' ablation mode): no per-level offset into the rows

@@ -200,6 +200,7 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096,
     loss = float("nan")
     done = 0
     while done < steps:  # cycle the loader: fresh rays/views every step
+        before = done
         for data in loader:
             if done >= steps:
                 break
@@ -209,6 +210,10 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096,
             target = jnp.asarray(ct["images"]).reshape(-1, 3)[:num_rays]
             tp, opt_state, loss = step(tp, opt_state, rays_o, rays_d, target)
             done += 1
+        if done == before:
+            raise ValueError("finetune_attack loader yielded no batches — "
+                             "pass a re-iterable loader, not a one-shot "
+                             "generator")
     trainer.log(f"[finetune_attack] steps={steps} lr={lr} "
                 f"full_backbone={full_backbone} "
                 f"final adv loss={float(loss):.6f}")

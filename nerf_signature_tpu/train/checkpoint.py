@@ -38,8 +38,26 @@ def load_checkpoint(path):
 
 
 def restore_like(template, state_dict):
-    """Restore a pytree with the same structure as ``template``."""
-    return serialization.from_state_dict(template, state_dict)
+    """Restore a pytree with the same structure as ``template``.
+
+    Leaf shapes are validated against the template: flax's from_state_dict
+    does NOT check them, and a silent layout mismatch (e.g. loading a
+    checkpoint trained without ``--dense_coarse`` into a dense-layout
+    model) would corrupt results with no error."""
+    restored = serialization.from_state_dict(template, state_dict)
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    r_leaves = treedef.flatten_up_to(restored)
+    for t, r in zip(t_leaves, r_leaves):
+        ts = getattr(t, "shape", None)
+        rs = getattr(r, "shape", None)
+        if ts is not None and rs is not None and tuple(ts) != tuple(rs):
+            raise ValueError(
+                f"checkpoint shape mismatch: saved {tuple(rs)} vs model "
+                f"{tuple(ts)} — was the model configured differently "
+                f"(e.g. --dense_coarse, message_dim, n_levels) than when "
+                f"the checkpoint was written?"
+            )
+    return restored
 
 
 def latest_checkpoint(ckpt_dir, name):

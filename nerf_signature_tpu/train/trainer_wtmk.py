@@ -125,11 +125,40 @@ def _distort_and_normalize(key, blocks, kind):
     )
 
 
+def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
+                  ct_gt, message, key, lambda_w, lambda_i, wcfg, rc, budget,
+                  block_budget, distortion, loss_w_fn):
+    """The ONE watermark training objective (ref ``utils_wtmk_disen.py:
+    579-646``), shared by the per-step path (``_wtmk_train_step``) and the
+    scan loop (``_wm_device_loop``) so the two can never drift.
+
+    Key blocks render at the EXTRACTION budget: the decoder must train on
+    exactly the images ownership verification will decode — a train/infer
+    budget mismatch is a systematic domain shift that caps bit accuracy."""
+    blocks = _render_blocks(
+        backbone, tr, occupancy, rays_o_b, rays_d_b, message,
+        wcfg, rc, block_budget,
+    )
+    decoded = hidden_decoder_apply(
+        tr["decoder"], wcfg.decoder,
+        _distort_and_normalize(key, blocks, distortion),
+    )  # [D, 1] (block mode) or [1, D] (whole-image mode)
+    lossw = loss_w_fn(decoded.reshape(-1),
+                      message.astype(jnp.float32).reshape(-1))
+
+    field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
+    out = render_rays_occ(
+        field, occupancy, ct_o, ct_d, rc,
+        budget=budget, bg_color=1.0, bg_fn=_bg_fn(backbone, wcfg),
+    )
+    lossi = jnp.mean((out["image"] - ct_gt) ** 2)
+    return lambda_w * lossw + lambda_i * lossi, (lossw, lossi, decoded)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("wcfg", "rc", "budget", "block_budget", "opt_update",
-                     "distortion",
-                     "loss_kind"),
+                     "distortion", "loss_kind"),
     donate_argnums=(1, 2),
 )
 def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
@@ -139,29 +168,11 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
     loss_w_fn = make_loss_w(loss_kind)
 
     def loss_fn(tr):
-        # key blocks render at the EXTRACTION budget: the decoder must train
-        # on exactly the images ownership verification will decode — a
-        # train/infer budget mismatch is a systematic domain shift that caps
-        # bit accuracy
-        blocks = _render_blocks(
-            backbone, tr, occupancy, rays_o_b, rays_d_b, message,
-            wcfg, rc, block_budget,
+        return _wm_step_loss(
+            backbone, tr, occupancy, rays_o_b, rays_d_b, content_rays_o,
+            content_rays_d, content_gt, message, key, lambda_w, lambda_i,
+            wcfg, rc, budget, block_budget, distortion, loss_w_fn,
         )
-        decoded = hidden_decoder_apply(
-            tr["decoder"], wcfg.decoder,
-            _distort_and_normalize(key, blocks, distortion),
-        )  # [D, 1] (block mode) or [1, D] (whole-image mode)
-        lossw = loss_w_fn(decoded.reshape(-1),
-                          message.astype(jnp.float32).reshape(-1))
-
-        field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
-        out = render_rays_occ(
-            field, occupancy, content_rays_o, content_rays_d, rc,
-            budget=budget, bg_color=1.0, bg_fn=_bg_fn(backbone, wcfg),
-        )
-        lossi = jnp.mean((out["image"] - content_gt) ** 2)
-        loss = lambda_w * lossw + lambda_i * lossi
-        return loss, (lossw, lossi, decoded)
 
     (loss, (lossw, lossi, decoded)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
@@ -198,7 +209,6 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
     P = poses.shape[0]
     intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
     loss_w_fn = make_loss_w(loss_kind)
-    bg_fn = _bg_fn(backbone, wcfg)
     if mesh is not None:
         # content rays sharded over the mesh inside the scan (params/blocks
         # replicated; GSPMD inserts the grad psum over ICI)
@@ -219,23 +229,12 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
         gt = shard(images[pidx, pix])
 
         def loss_fn(tr):
-            blocks = _render_blocks(
-                backbone, tr, occupancy, rays_o_b, rays_d_b, message,
-                wcfg, rc, block_budget,
+            loss, (lossw, lossi, _) = _wm_step_loss(
+                backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d, gt,
+                message, kd, lambda_w, lambda_i, wcfg, rc, budget,
+                block_budget, distortion, loss_w_fn,
             )
-            decoded = hidden_decoder_apply(
-                tr["decoder"], wcfg.decoder,
-                _distort_and_normalize(kd, blocks, distortion),
-            )
-            lossw = loss_w_fn(decoded.reshape(-1),
-                              message.astype(jnp.float32).reshape(-1))
-            field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
-            out = render_rays_occ(
-                field, occupancy, ct_o, ct_d, rc, budget=budget,
-                bg_color=1.0, bg_fn=bg_fn,
-            )
-            lossi = jnp.mean((out["image"] - gt) ** 2)
-            return lambda_w * lossw + lambda_i * lossi, (lossw, lossi)
+            return loss, (lossw, lossi)
 
         (loss, (lossw, lossi)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
