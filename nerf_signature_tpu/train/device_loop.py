@@ -24,6 +24,32 @@ from ..ops.grid import OccupancyGrid, update_occupancy_grid
 from ..render.renderer import render_rays_occ
 
 
+def sample_error_map(key, em_row, num_rays, H, W, coarse=128):
+    """Device-side importance sampling over one pose's coarse error map.
+
+    Mirrors the host path (``data/rays.py``, ref ``nerf/utils.py:104-114``):
+    draw coarse cells proportional to error (inverse-CDF, WITH replacement —
+    the host's no-replacement multinomial would need a full sort; duplicates
+    are harmless extra samples of hard cells), then jitter-refine into full
+    resolution.  Returns (pix [N], inds_coarse [N])."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    cdf = jnp.cumsum(em_row)
+    u = jax.random.uniform(k1, (num_rays,)) * cdf[-1]
+    inds_coarse = jnp.clip(jnp.searchsorted(cdf, u), 0, coarse * coarse - 1)
+    ix = (inds_coarse // coarse).astype(jnp.float32)
+    iy = (inds_coarse % coarse).astype(jnp.float32)
+    sx, sy = H / coarse, W / coarse
+    ix = jnp.minimum(
+        (ix * sx + jax.random.uniform(k2, (num_rays,)) * sx).astype(jnp.int32),
+        H - 1,
+    )
+    iy = jnp.minimum(
+        (iy * sy + jax.random.uniform(k3, (num_rays,)) * sy).astype(jnp.int32),
+        W - 1,
+    )
+    return ix * W + iy, inds_coarse
+
+
 def rays_from_pixels(pose, intrinsics, pix, H, W):
     """Device-side ``get_rays`` for sampled flat pixel indices.
 
@@ -54,14 +80,19 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                       images, intrinsics, key, step0, cfg, rc, budget,
                       opt_update, has_alpha, ema_decay, n_steps, num_rays,
                       H, W, update_interval=16, density_thresh=0.01,
-                      grid_full_until=16, mesh=None):
+                      grid_full_until=16, mesh=None, error_map=None):
     """Run ``n_steps`` training steps on device.
 
     poses: [P, 4, 4]; images: [P, H*W, C] (preloaded); intrinsics: [4].
     mesh: optional 1-D "rays" Mesh — the per-step ray batch is sharded over
     it INSIDE the scan (params replicated; GSPMD inserts the gradient psum
     over ICI), combining multi-chip DP with the K-steps-per-dispatch loop.
-    Returns (params, ema, opt_state, occ, losses [n_steps], mean_occupied).
+    error_map: optional [P, 128*128] coarse error map — pixels are then
+    importance-sampled from it and it is EMA-updated per step inside the
+    scan (``sample_error_map``; ref ``nerf/utils.py:104-114,549-556``),
+    carried through the loop and returned.
+    Returns (params, ema, opt_state, occ, losses [n_steps], mean_occupied,
+    error_map).
     """
     P = poses.shape[0]
     intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
@@ -90,15 +121,23 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
             step % update_interval == 0, do_update, lambda o: o, occ
         )
 
+    use_error_map = error_map is not None
+    if not use_error_map:
+        error_map = jnp.zeros((1, 1), jnp.float32)  # carry placeholder
+
     def body(carry, inp):
-        params, ema, opt_state, occ = carry
+        params, ema, opt_state, occ, em = carry
         k, step = inp
         kg, kp, ki, kbg, kpert = jax.random.split(k, 5)
 
         occ = maybe_update_grid(occ, params, kg, step)
 
         pidx = jax.random.randint(kp, (), 0, P)
-        pix = jax.random.randint(ki, (num_rays,), 0, H * W)
+        if use_error_map:
+            pix, inds_coarse = sample_error_map(ki, em[pidx], num_rays, H, W)
+        else:
+            pix = jax.random.randint(ki, (num_rays,), 0, H * W)
+            inds_coarse = None
         rays_o, rays_d = rays_from_pixels(poses[pidx], intr, pix, H, W)
         rays_o, rays_d = shard(rays_o), shard(rays_d)
         img = shard(images[pidx, pix])  # [N, C]
@@ -125,9 +164,12 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                 field, occ.occupancy, rays_o, rays_d, rc, budget=budget,
                 bg_color=bg, perturb_key=kpert, bg_fn=bg_fn,
             )
-            return jnp.mean((out["image"] - gt) ** 2), out["n_occupied"]
+            err = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
+            return jnp.mean(err), (out["n_occupied"], err)
 
-        (loss, n_occ), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (n_occ, err)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = opt_update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if ema_decay is not None:
@@ -136,11 +178,21 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
             )
         else:
             ema = params
-        return (params, ema, opt_state, occ), (loss, jnp.mean(n_occ))
+        if use_error_map:
+            # EMA update at the sampled coarse cells (ref utils.py:549-556);
+            # duplicate cells resolve last-wins like torch index assignment
+            row = em[pidx]
+            row = row.at[inds_coarse].set(
+                0.1 * row[inds_coarse] + 0.9 * jax.lax.stop_gradient(err)
+            )
+            em = em.at[pidx].set(row)
+        return (params, ema, opt_state, occ, em), (loss, jnp.mean(n_occ))
 
     keys = jax.random.split(key, n_steps)
     steps = step0 + jnp.arange(n_steps)
-    (params, ema, opt_state, occ), (losses, occ_means) = jax.lax.scan(
-        body, (params, ema, opt_state, occ), (keys, steps)
-    )
-    return params, ema, opt_state, occ, losses, jnp.mean(occ_means)
+    (params, ema, opt_state, occ, error_map), (losses, occ_means) = \
+        jax.lax.scan(
+            body, (params, ema, opt_state, occ, error_map), (keys, steps)
+        )
+    return (params, ema, opt_state, occ, losses, jnp.mean(occ_means),
+            error_map)

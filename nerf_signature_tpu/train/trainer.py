@@ -331,19 +331,26 @@ class Trainer:
         if m.use_occ:
             self.model.mark_untrained_grid(loader.poses, loader.intrinsics)
 
+        # error-map importance sampling runs ON DEVICE inside the scan when
+        # the loader carries a map (--error_map)
+        em = getattr(loader, "error_map", None)
+        em = jnp.asarray(np.asarray(em, np.float32)) if em is not None else None
+
         start = time.time()
         while self.global_step < max_steps:
             k = min(steps_per_dispatch, max_steps - self.global_step)
             (m.params, self.ema_params, self.opt_state, m.occ, losses,
-             mean_occ) = device_train_loop(
+             mean_occ, em) = device_train_loop(
                 m.params, self.ema_params, self.opt_state, m.occ, poses,
                 images, intr, m._next_key(), self.global_step, m.cfg, m.rc,
                 m.train_budget, self.optimizer.update, C == 4,
                 self.ema_decay, k, self.opt.num_rays, H, W,
                 update_interval=getattr(self.opt, "update_extra_interval", 16),
                 density_thresh=m.density_thresh,
-                mesh=self.mesh,
+                mesh=self.mesh, error_map=em,
             )
+            if getattr(loader, "error_map", None) is None:
+                em = None  # keep passing the no-map trace
             losses = np.asarray(losses)
             self.global_step += k
             self.stats["loss"].append(float(losses.mean()))
@@ -360,6 +367,9 @@ class Trainer:
                 self.epoch += 1
                 self.save_checkpoint(full=True)
                 prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
+        if em is not None and getattr(loader, "error_map", None) is not None:
+            loader.error_map = np.asarray(em)
+            self.error_map = loader.error_map
 
     def train(self, train_loader, valid_loader=None, max_epochs=1):
         if self.model.use_occ and getattr(train_loader, "poses", None) is not None:

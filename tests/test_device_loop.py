@@ -54,7 +54,7 @@ class TestDeviceLoop:
             jax.random.PRNGKey(1), 0, TINY, rc, 16, optimizer.update,
             False, 0.95, 32, 64, H, W, update_interval=8,
         )
-        params2, ema2, opt2, occ2, losses, mean_occ = out
+        params2, ema2, opt2, occ2, losses, mean_occ, _ = out
         losses = np.asarray(losses)
         assert losses.shape == (32,)
         assert np.isfinite(losses).all()
@@ -108,3 +108,49 @@ class TestWmDeviceLoop:
         for a, b in zip(jax.tree_util.tree_leaves(bb_before),
                         jax.tree_util.tree_leaves(m.backbone)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDeviceErrorMap:
+    def test_sampling_concentrates_on_high_error(self):
+        from nerf_signature_tpu.train.device_loop import sample_error_map
+
+        H = W = 256
+        em = np.full((128 * 128,), 1e-6, np.float32)
+        # one hot coarse cell (row 10, col 20) carries almost all the mass
+        em[10 * 128 + 20] = 1.0
+        pix, inds_coarse = sample_error_map(
+            jax.random.PRNGKey(0), jnp.asarray(em), 256, H, W
+        )
+        frac = float(np.mean(np.asarray(inds_coarse) == 10 * 128 + 20))
+        assert frac > 0.95
+        # refined pixels land inside the cell's footprint
+        ix = np.asarray(pix) // W
+        iy = np.asarray(pix) % W
+        sel = np.asarray(inds_coarse) == 10 * 128 + 20
+        assert (ix[sel] >= 20) .all() and (ix[sel] < 22).all()
+        assert (iy[sel] >= 40).all() and (iy[sel] < 42).all()
+
+    def test_loop_updates_error_map(self):
+        rc = RenderConfig(bound=1.0, grid_size=16, max_steps=64)
+        params = init_ngp_params(jax.random.PRNGKey(0), TINY)
+        optimizer = make_optimizer(2e-2, 16)
+        opt_state = optimizer.init(params)
+        ema = jax.tree_util.tree_map(jnp.copy, params)
+        occ = init_occupancy_grid(1.0, 16)
+
+        rng = np.random.default_rng(0)
+        H = W = 24
+        poses = jnp.asarray(rand_poses(rng, 2, radius=1.5))
+        intr = jnp.asarray([30.0, 30.0, 12.0, 12.0])
+        images = jnp.full((2, H * W, 3), 0.5)
+        em0 = jnp.ones((2, 128 * 128), jnp.float32)
+
+        out = device_train_loop(
+            params, ema, opt_state, occ, poses, images, intr,
+            jax.random.PRNGKey(1), 0, TINY, rc, 8, optimizer.update,
+            False, None, 4, 32, H, W, update_interval=8, error_map=em0,
+        )
+        em1 = np.asarray(out[6])
+        assert em1.shape == (2, 128 * 128)
+        assert np.isfinite(em1).all()
+        assert not np.allclose(em1, 1.0)  # EMA moved sampled cells
