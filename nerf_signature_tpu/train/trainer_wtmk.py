@@ -267,6 +267,35 @@ def _wtmk_decode_blocks(backbone, trainable, occupancy, rays_o_b, rays_d_b,
     return blocks, decoded
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("wcfg", "rc", "budget", "distortion"),
+)
+def _wtmk_decode_blocks_batched(backbone, trainable, occupancy, rays_o_b,
+                                rays_d_b, messages, keys, wcfg, rc, budget,
+                                distortion):
+    """Message-BATCHED ownership verification: vmap the whole block render +
+    distort + decode over B messages in one program.
+
+    The reference (and the per-message path) dispatches one program per
+    trial — 200 dispatches per evaluation; under per-dispatch-latency
+    environments that measures the transport.  vmap keeps the decoder's
+    batch-stat normalisation PER MESSAGE (each vmapped instance computes its
+    own batch statistics), so the logits are semantically identical to the
+    sequential path.  messages: [B, D] int; keys: [B] PRNG keys."""
+    def one(message, key):
+        blocks = _render_blocks(
+            backbone, trainable, occupancy, rays_o_b, rays_d_b, message,
+            wcfg, rc, budget,
+        )
+        return hidden_decoder_apply(
+            trainable["decoder"], wcfg.decoder,
+            _distort_and_normalize(key, blocks, distortion),
+        )
+
+    return jax.vmap(one)(messages, keys)
+
+
 class WatermarkTrainer:
     def __init__(self, name, opt, model: WatermarkModel, workspace="workspace",
                  metrics=None, metrics_message=None, eval_interval=10,
@@ -549,15 +578,39 @@ class WatermarkTrainer:
         )
         return np.asarray(blocks), np.asarray(decoded)
 
-    def test_bitacc(self, loader, record_path=None):
+    def test_bitacc(self, loader, record_path=None, batch=None):
         """200 random messages -> sign-agreement bit accuracy.
-        Ref ``test_bitacc`` / ``test_bitacc_record`` (``:935-1085``)."""
+        Ref ``test_bitacc`` / ``test_bitacc_record`` (``:935-1085``).
+
+        Trials run message-batched (``--bitacc_batch`` messages per
+        dispatch, vmapped — see ``_wtmk_decode_blocks_batched``); batch=1
+        falls back to the sequential per-message path."""
         meter = self.metrics_message[0]
         meter.clear()
+        batch = batch or getattr(self.opt, "bitacc_batch", 8)
+        n_trials = len(loader)
+        wm = None
         for data in loader:
-            message = self.random_message()
-            _, decoded = self.eval_blocks(data["watermark"], message)
-            meter.update(decoded.reshape(-1), message)
+            wm = data["watermark"]
+            break
+        if wm is None:
+            return None
+        m = self.model
+        ro_b, rd_b = self._wm_rays(wm)
+        ro_b, rd_b = jnp.asarray(ro_b), jnp.asarray(rd_b)
+        done = 0
+        while done < n_trials:
+            B = min(batch, n_trials - done)
+            messages = np.stack([self.random_message() for _ in range(B)])
+            keys = jax.random.split(m._next_key(), B)
+            decoded = np.asarray(_wtmk_decode_blocks_batched(
+                m.backbone, m.trainable, m.occ.occupancy, ro_b, rd_b,
+                jnp.asarray(messages), keys, m.wcfg, m.rc, m.infer_budget,
+                self.distortion,
+            ))
+            for b in range(B):
+                meter.update(decoded[b].reshape(-1), messages[b])
+            done += B
         acc = meter.measure()
         self.log(f"[test_bitacc] {meter.report()} over {meter.N} messages")
         if record_path or (self.workspace and record_path is None):

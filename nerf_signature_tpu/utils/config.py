@@ -128,6 +128,9 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     parser.add_argument("--n_test_bitacc", type=int, default=200,
                         help="random messages per bit-accuracy evaluation "
                              "(ref n_test=200, main_nerf_wtmk.py:122)")
+    parser.add_argument("--bitacc_batch", type=int, default=8,
+                        help="messages per dispatch in test_bitacc (vmapped "
+                             "whole render+decode; 1 = sequential)")
     parser.add_argument(
         "--distortion", type=str, default="none",
         choices=["none", "noise", "rotation", "scaling", "blurring",

@@ -184,6 +184,46 @@ class TestCopyRNeRF:
         assert gmax > 0
 
 
+class TestBatchedBitacc:
+    def test_vmapped_decode_matches_sequential(self):
+        """Message-batched ownership verification must produce the SAME
+        logits as the per-message path (vmap keeps decoder batch stats per
+        message)."""
+        from nerf_signature_tpu.api import WatermarkModel
+        from nerf_signature_tpu.train.trainer_wtmk import (
+            _wtmk_decode_blocks, _wtmk_decode_blocks_batched,
+        )
+
+        D, bh, bw = 3, 4, 4
+        wcfg = WatermarkConfig(
+            ngp=NGPConfig(n_levels=4, log2_hashmap_size=10,
+                          finest_resolution=64, compute_dtype=jnp.float32),
+            message_dim=D, msg_resolution=64, msg_log2_hashmap_size=10,
+        )
+        m = WatermarkModel(wcfg=wcfg, grid_size=16, max_steps=32,
+                           train_budget=8, infer_budget=8)
+        m.occ = m.occ._replace(occupancy=m.occ.occupancy.at[:].set(True))
+        ro_b = jnp.zeros((D, bh, bw, 3)) - 2.0
+        rd_b = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (D, bh, bw, 1))
+
+        rng = np.random.default_rng(0)
+        messages = jnp.asarray(rng.integers(0, 2, (4, D)).astype(np.int32))
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+
+        batched = _wtmk_decode_blocks_batched(
+            m.backbone, m.trainable, m.occ.occupancy, ro_b, rd_b,
+            messages, keys, m.wcfg, m.rc, 8, "noise",
+        )
+        for b in range(4):
+            _, seq = _wtmk_decode_blocks(
+                m.backbone, m.trainable, m.occ.occupancy, ro_b, rd_b,
+                messages[b], keys[b], m.wcfg, m.rc, 8, "noise",
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched[b]), np.asarray(seq), rtol=2e-4, atol=1e-5,
+            )
+
+
 class TestFinetuneDecoder:
     def test_msg_tables_frozen_decoder_trains(self):
         """--finetune_decoder freezes the msg encoder too (ref
