@@ -38,14 +38,18 @@ from .metrics import BitAccMeter
 from .trainer_wtmk import _per_view, _render_blocks, wm_rays
 
 
-def attack_sweep(trainer, loader, attacks=None, n_test=50):
+def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     """Bit-accuracy under each named image attack.
 
     trainer: WatermarkTrainer; loader: 'test'-mode NeRFDatasetDisen.
+    Trials run message-batched like ``test_bitacc`` (vmapped render +
+    attack + decode; ``--bitacc_batch`` messages per dispatch).
     Returns {attack_name: bit_acc}.
     """
     attacks = attacks or list(ATTACKS)
     m = trainer.model
+    batch = batch or getattr(getattr(trainer, "opt", None),
+                             "bitacc_batch", None) or 8
     results = {}
     wm = None
     for data in loader:  # grab the (static) watermark dict once
@@ -58,26 +62,38 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50):
     rays_d_b = jnp.asarray(rd_b)
 
     @functools.partial(jax.jit, static_argnames=("attack",))
-    def decode(message, key, attack):
+    def decode_batch(messages, keys, attack):
         # multi-view aware: blocks come back [D, bh, bw, 3] or [D, bh, bw,
-        # V*3]; attacks + normalisation run per view
-        blocks = _render_blocks(
-            m.backbone, m.trainable, m.occ.occupancy, rays_o_b, rays_d_b,
-            message, m.wcfg, m.rc, m.infer_budget,
-        )
-        blocks = _per_view(
-            lambda x: normalize_img(ATTACKS[attack](key, x)), blocks
-        )
-        return hidden_decoder_apply(
-            m.trainable["decoder"], m.wcfg.decoder, blocks
-        )
+        # V*3]; attacks + normalisation run per view, batch stats per message
+        def one(message, key):
+            blocks = _render_blocks(
+                m.backbone, m.trainable, m.occ.occupancy, rays_o_b, rays_d_b,
+                message, m.wcfg, m.rc, m.infer_budget,
+            )
+            blocks = _per_view(
+                lambda x: normalize_img(ATTACKS[attack](key, x)), blocks
+            )
+            return hidden_decoder_apply(
+                m.trainable["decoder"], m.wcfg.decoder, blocks
+            )
+
+        return jax.vmap(one)(messages, keys)
 
     for attack in attacks:
         meter = BitAccMeter()
-        for i in range(n_test):
-            message = trainer.random_message()
-            decoded = decode(jnp.asarray(message), m._next_key(), attack)
-            meter.update(np.asarray(decoded).reshape(-1), message)
+        done = 0
+        while done < n_test:
+            B = min(batch, n_test - done)
+            messages = np.stack(
+                [trainer.random_message() for _ in range(B)]
+            )
+            keys = jax.random.split(m._next_key(), B)
+            decoded = np.asarray(decode_batch(
+                jnp.asarray(messages), keys, attack
+            ))
+            for b in range(B):
+                meter.update(decoded[b].reshape(-1), messages[b])
+            done += B
         results[attack] = meter.measure()
         trainer.log(f"[attack_sweep] {attack:16s} bit_acc={results[attack]:.4f}")
     return results
