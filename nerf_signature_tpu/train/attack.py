@@ -83,17 +83,19 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
         meter = BitAccMeter()
         done = 0
         while done < n_test:
-            B = min(batch, n_test - done)
+            # full batch shape every dispatch (tail rows discarded) — one
+            # compiled program per attack
+            use = min(batch, n_test - done)
             messages = np.stack(
-                [trainer.random_message() for _ in range(B)]
+                [trainer.random_message() for _ in range(batch)]
             )
-            keys = jax.random.split(m._next_key(), B)
+            keys = jax.random.split(m._next_key(), batch)
             decoded = np.asarray(decode_batch(
                 jnp.asarray(messages), keys, attack
             ))
-            for b in range(B):
+            for b in range(use):
                 meter.update(decoded[b].reshape(-1), messages[b])
-            done += B
+            done += use
         results[attack] = meter.measure()
         trainer.log(f"[attack_sweep] {attack:16s} bit_acc={results[attack]:.4f}")
     return results

@@ -313,8 +313,9 @@ class Trainer:
 
     def train_device(self, loader, max_steps=None, steps_per_dispatch=256):
         """Fully on-device training (``train/device_loop.py``): K steps per
-        dispatch, dataset preloaded to HBM.  Uniform pixel sampling only
-        (error-map importance sampling needs host state)."""
+        dispatch, dataset preloaded to HBM.  With ``--error_map`` the coarse
+        error map is importance-sampled and EMA-updated ON DEVICE inside the
+        scan (``sample_error_map``)."""
         from .device_loop import device_train_loop
 
         m = self.model

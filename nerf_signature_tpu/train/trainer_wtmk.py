@@ -600,17 +600,30 @@ class WatermarkTrainer:
         ro_b, rd_b = jnp.asarray(ro_b), jnp.asarray(rd_b)
         done = 0
         while done < n_trials:
-            B = min(batch, n_trials - done)
-            messages = np.stack([self.random_message() for _ in range(B)])
-            keys = jax.random.split(m._next_key(), B)
+            use = min(batch, n_trials - done)
+            if batch == 1:
+                # documented sequential escape hatch (per-message dispatch,
+                # the reference's per-trial behaviour)
+                message = self.random_message()
+                _, decoded = self.eval_blocks(wm, message)
+                meter.update(np.asarray(decoded).reshape(-1), message)
+                done += 1
+                continue
+            # always dispatch the FULL batch shape (tail trials padded with
+            # extra random messages, rows past ``use`` discarded) so the
+            # vmapped program compiles exactly once
+            messages = np.stack(
+                [self.random_message() for _ in range(batch)]
+            )
+            keys = jax.random.split(m._next_key(), batch)
             decoded = np.asarray(_wtmk_decode_blocks_batched(
                 m.backbone, m.trainable, m.occ.occupancy, ro_b, rd_b,
                 jnp.asarray(messages), keys, m.wcfg, m.rc, m.infer_budget,
                 self.distortion,
             ))
-            for b in range(B):
+            for b in range(use):
                 meter.update(decoded[b].reshape(-1), messages[b])
-            done += B
+            done += use
         acc = meter.measure()
         self.log(f"[test_bitacc] {meter.report()} over {meter.N} messages")
         if record_path or (self.workspace and record_path is None):

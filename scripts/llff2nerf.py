@@ -54,10 +54,17 @@ def convert(scene_dir, images="images", downscale=1, out="transforms.json"):
             f"{len(files)} images in {img_dir}/ but {len(poses)} poses"
         )
 
+    if len(files) == 0:
+        raise ValueError(f"no frames found under {img_dir}/")
     frames = []
     H = W = focal = None
     for f, p in zip(files, poses):
         c2w, hwf = llff_to_nerf_pose(p)
+        if H is not None and not np.allclose(
+            [H, W, focal], [hwf[0], hwf[1], hwf[2]]
+        ):
+            print(f"warning: per-frame intrinsics differ "
+                  f"({(H, W, focal)} vs {tuple(hwf)}); using the last")
         H, W, focal = float(hwf[0]), float(hwf[1]), float(hwf[2])
         frames.append({
             "file_path": os.path.relpath(f, scene_dir),

@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nerf_signature_tpu.data.rays import get_rays
 
-H = W = 64
+H = W = int(os.environ.get("BALL_RES", "64"))
 FOCAL_ANGLE = 0.8
 
 
