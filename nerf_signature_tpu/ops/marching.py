@@ -72,23 +72,10 @@ def _candidate_ts(t0, n_cand, dt_min, dt_max, dt_gamma):
     return ts.T, dts.T  # scan stacks on axis 0 -> [T, N] -> transpose
 
 
-def _mip_level(pos, dts, cascade, grid_size):
-    """max(mip_from_pos, mip_from_dt), ref ``raymarching.cu:42-54``.
-
-    frexp exponent e of m satisfies m in [2^(e-1), 2^e); for m > 0 this is
-    floor(log2(m)) + 1.
-    """
-    mx = jnp.max(jnp.abs(pos), axis=-1)
-    e_pos = jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30))) + 1.0
-    e_dt = jnp.floor(jnp.log2(jnp.maximum(dts * grid_size * 0.5, 1e-30))) + 1.0
-    lvl = jnp.maximum(e_pos, e_dt)
-    return jnp.clip(lvl, 0, cascade - 1).astype(jnp.int32)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("bound", "dt_gamma", "max_steps", "n_cand", "budget",
-                     "grid_size", "contract"),
+                     "grid_size"),
 )
 def march_rays(
     rays_o,
@@ -104,7 +91,6 @@ def march_rays(
     budget=128,
     grid_size=128,
     perturb_key=None,
-    contract=False,
 ):
     """March N rays through the occupancy grid with a fixed sample budget.
 
@@ -117,12 +103,10 @@ def march_rays(
       n_cand: candidate-grid length; default ``num_candidates(...)``.
       perturb_key: optional PRNG key; jitters t0 by U[0,1)*dt like the
         reference's ``noises`` (``raymarching.cu:351``).
-      contract: reserved for unbounded-scene contraction (not in reference).
 
     Returns dict(xyzs [N,S,3], dirs [N,S,3], deltas [N,S], ts [N,S],
                  mask [N,S] bool, n_occupied [N] int32).
     """
-    del contract
     C, H = occupancy.shape[0], occupancy.shape[1]
     assert H == grid_size
     N = rays_o.shape[0]
