@@ -134,24 +134,46 @@ def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
 
     Key blocks render at the EXTRACTION budget: the decoder must train on
     exactly the images ownership verification will decode — a train/infer
-    budget mismatch is a systematic domain shift that caps bit accuracy."""
-    blocks = _render_blocks(
-        backbone, tr, occupancy, rays_o_b, rays_d_b, message,
-        wcfg, rc, block_budget,
-    )
+    budget mismatch is a systematic domain shift that caps bit accuracy.
+    Content rays render at the PSEUDO-GT budget for the same reason (the
+    pseudo-GT pool is produced at infer_budget), which also makes the two
+    budgets equal in the default recipe — and then both ray sets render in
+    ONE fused march+field+composite program instead of two."""
+    field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
+    if budget == block_budget:
+        n_b = int(np.prod(rays_o_b.shape[:-1]))
+        out = render_rays_occ(
+            field, occupancy,
+            jnp.concatenate([rays_o_b.reshape(-1, 3), ct_o], 0),
+            jnp.concatenate([rays_d_b.reshape(-1, 3), ct_d], 0),
+            rc, budget=block_budget, bg_color=1.0,
+            bg_fn=_bg_fn(backbone, wcfg),
+        )
+        blocks = jnp.clip(
+            out["image"][:n_b].reshape(*rays_o_b.shape), 0.0, 1.0
+        )
+        if blocks.ndim == 5:  # [D, V, bh, bw, 3] -> channel-concat views
+            D, V, bh, bw, _ = blocks.shape
+            blocks = jnp.transpose(blocks, (0, 2, 3, 1, 4)).reshape(
+                D, bh, bw, V * 3
+            )
+        content_img = out["image"][n_b:]
+    else:  # A/B escape hatch (--wm_content_budget): two renders
+        blocks = _render_blocks(
+            backbone, tr, occupancy, rays_o_b, rays_d_b, message,
+            wcfg, rc, block_budget,
+        )
+        content_img = render_rays_occ(
+            field, occupancy, ct_o, ct_d, rc,
+            budget=budget, bg_color=1.0, bg_fn=_bg_fn(backbone, wcfg),
+        )["image"]
     decoded = hidden_decoder_apply(
         tr["decoder"], wcfg.decoder,
         _distort_and_normalize(key, blocks, distortion),
     )  # [D, 1] (block mode) or [1, D] (whole-image mode)
     lossw = loss_w_fn(decoded.reshape(-1),
                       message.astype(jnp.float32).reshape(-1))
-
-    field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
-    out = render_rays_occ(
-        field, occupancy, ct_o, ct_d, rc,
-        budget=budget, bg_color=1.0, bg_fn=_bg_fn(backbone, wcfg),
-    )
-    lossi = jnp.mean((out["image"] - ct_gt) ** 2)
+    lossi = jnp.mean((content_img - ct_gt) ** 2)
     return lambda_w * lossw + lambda_i * lossi, (lossw, lossi, decoded)
 
 
@@ -317,6 +339,16 @@ class WatermarkTrainer:
         self.loss_kind = getattr(opt, "loss_w", "bce")
         self.distortion = getattr(opt, "distortion", "none")
         self.message_dim = opt.message_dim
+        # content rays render at the pseudo-GT budget by default: the
+        # pseudo-GT pool is produced at infer_budget (provider_wtmk), so a
+        # train_budget content render gives loss_i a floor that is pure
+        # render-budget mismatch, not watermark perturbation (the same
+        # domain-shift class as the round-1 key-block fix; ref
+        # utils_wtmk_disen.py:598-638 renders content with the SAME pipeline
+        # that made the pseudo-GT).  --wm_content_budget overrides for A/B.
+        self.content_budget = (
+            getattr(opt, "wm_content_budget", 0) or model.infer_budget
+        )
 
         self.optimizer = make_optimizer(opt.lr, opt.iters)
         if model.wcfg.finetune_decoder:
@@ -437,7 +469,7 @@ class WatermarkTrainer:
             ct_o, ct_d, ct_gt,
             jnp.asarray(message), m._next_key(),
             jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
-            m.wcfg, m.rc, m.train_budget, m.infer_budget,
+            m.wcfg, m.rc, self.content_budget, m.infer_budget,
             self.optimizer.update, self.distortion, self.loss_kind,
         )
         return loss, lossw, lossi, decoded
@@ -513,6 +545,8 @@ class WatermarkTrainer:
         )
         intr = jnp.asarray(np.asarray(train_loader.intrinsics, np.float32))
         H, W = train_loader.H, train_loader.W
+        # rays/step = content rays + key-block rays (consistent with BENCH_WM)
+        rays_per_step = self.opt.num_rays + int(np.prod(ro_b.shape[:-1]))
 
         start = time.time()
         while self.global_step < max_steps:
@@ -522,14 +556,14 @@ class WatermarkTrainer:
                 m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
                 ro_b, rd_b, poses, images, intr, m._next_key(),
                 jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
-                m.wcfg, m.rc, m.train_budget, m.infer_budget,
+                m.wcfg, m.rc, self.content_budget, m.infer_budget,
                 self.optimizer.update, self.distortion, self.loss_kind,
                 k, self.opt.num_rays, H, W, mesh=self.mesh,
             )
             losses = np.asarray(losses)
             self.global_step += k
             self.epoch += 1
-            rays_s = k * self.opt.num_rays / max(time.time() - start, 1e-9)
+            rays_s = k * rays_per_step / max(time.time() - start, 1e-9)
             self.log(
                 f"[wm device loop] step={self.global_step}/{max_steps} "
                 f"loss={losses[-1]:.6f} lossw={float(np.asarray(lossws)[-1]):.6f} "

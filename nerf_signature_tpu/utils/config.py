@@ -37,6 +37,15 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--update_extra_interval", type=int, default=16)
     parser.add_argument("--max_ray_batch", type=int, default=4096)
     parser.add_argument("--patch_size", type=int, default=1)
+    parser.add_argument("--clip_model", type=str, default=None,
+                        help="transformers CLIP model id or local path for "
+                             "--clip_text guidance (default "
+                             "openai/clip-vit-base-patch32)")
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="path to a torch lpips.LPIPS(net='alex') state "
+                             "dict; enables the in-graph perceptual patch "
+                             "loss + LPIPS metric (default: $LPIPS_WEIGHTS "
+                             "or the lpips package if importable)")
 
     # backbone
     parser.add_argument("--fp16", action="store_true",
@@ -131,6 +140,16 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     parser.add_argument("--bitacc_batch", type=int, default=8,
                         help="messages per dispatch in test_bitacc (vmapped "
                              "whole render+decode; 1 = sequential)")
+    parser.add_argument("--pseudo_gt_cache", type=str, default=None,
+                        help="npz path caching the rendered pseudo-GT pool "
+                             "across CLI invocations (fingerprinted against "
+                             "backbone+poses; stale caches re-render)")
+    parser.add_argument("--wm_content_budget", type=int, default=0,
+                        help="march budget for wm-stage CONTENT rays; 0 = "
+                             "match the pseudo-GT render budget "
+                             "(--infer_budget) so loss_i has no render-budget "
+                             "floor; set to --train_budget to reproduce the "
+                             "round-1 mismatch for A/B")
     parser.add_argument(
         "--distortion", type=str, default="none",
         choices=["none", "noise", "rotation", "scaling", "blurring",
@@ -150,6 +169,10 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
                         help="CopyRNeRF baseline: color-space message MLP + "
                              "whole-image extraction (ref network_copyrnerf_"
                              "tcnn / utils_wtmk_copyrnerf snapshots)")
+    parser.add_argument("--copyrnerf_replace", action="store_true",
+                        help="CopyRNeRF upstream-exact variant: msg MLP "
+                             "REPLACES the per-sample color instead of the "
+                             "default +-0.5 residual blend")
     parser.add_argument("--finetune_decoder", action="store_true",
                         help="freeze msg encoder too; train only the decoder")
     parser.add_argument("--attack_suite", action="store_true",
