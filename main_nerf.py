@@ -46,7 +46,7 @@ def main():
         num_steps=opt.num_steps, upsample_steps=opt.upsample_steps,
     )
 
-    metrics = [PSNRMeter(), LPIPSMeter()]
+    metrics = [PSNRMeter(), LPIPSMeter(weights_path=opt.lpips_weights)]
 
     if opt.gui:
         # interactive browser viewer (replaces the reference's dearpygui

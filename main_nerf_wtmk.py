@@ -49,6 +49,7 @@ def main():
         hash_select=opt.hash_select,
         whole_image=opt.whole_image_wm,
         copyrnerf=opt.copyrnerf,
+        copyrnerf_replace=getattr(opt, "copyrnerf_replace", False),
         finetune_decoder=opt.finetune_decoder,
     )
     model = WatermarkModel(
@@ -61,7 +62,7 @@ def main():
 
     trainer = WatermarkTrainer(
         "ngp", opt, model, workspace=opt.workspace,
-        metrics=[PSNRMeter(), LPIPSMeter(), SSIMMeter()],
+        metrics=[PSNRMeter(), LPIPSMeter(weights_path=opt.lpips_weights), SSIMMeter()],
         metrics_message=[BitAccMeter()],
         eval_interval=opt.eval_interval, save_interval=opt.save_interval,
         use_checkpoint=opt.ckpt,

@@ -87,34 +87,43 @@ class SSIMMeter(_Meter):
 
 
 class LPIPSMeter(_Meter):
-    """LPIPS (alex) when the ``lpips`` package is installed; otherwise inert
-    (reports -1) — the TPU image does not vendor lpips."""
+    """LPIPS (alex) through the native JAX implementation
+    (``utils/lpips.py``) when weights resolve (``$LPIPS_WEIGHTS`` file or
+    the ``lpips`` package); otherwise EXPLICITLY inert: ``measure()``
+    returns None and ``report()`` says n/a — never a -1 sentinel that reads
+    like a score (ref LPIPSMeter, ``utils_wtmk_disen.py:285-319``)."""
 
     name = "LPIPS"
 
-    def __init__(self, net="alex"):
+    def __init__(self, net="alex", weights_path=None):
         super().__init__()
-        try:
-            import lpips
-            import torch
+        from ..utils.lpips import load_lpips_params
 
-            self._fn = lpips.LPIPS(net=net)
-            self._torch = torch
-        except Exception:
-            self._fn = None
+        self._params = load_lpips_params(weights_path)
+
+    @property
+    def available(self):
+        return self._params is not None
 
     def update(self, preds, truths):
-        if self._fn is None:
+        if self._params is None:
             return
-        t = self._torch
-        p = t.from_numpy(np.asarray(preds, np.float32)).permute(0, 3, 1, 2) * 2 - 1
-        g = t.from_numpy(np.asarray(truths, np.float32)).permute(0, 3, 1, 2) * 2 - 1
-        with t.no_grad():
-            self.V += float(self._fn(p, g).mean())
+        from ..utils.lpips import lpips_metric
+
+        preds = np.asarray(preds, np.float32)
+        truths = np.asarray(truths, np.float32)
+        if preds.ndim == 3:
+            preds, truths = preds[None], truths[None]
+        self.V += lpips_metric(self._params, preds, truths)
         self.N += 1
 
     def measure(self):
-        return self.V / max(self.N, 1) if self._fn is not None else -1.0
+        return self.V / max(self.N, 1) if self._params is not None else None
+
+    def report(self):
+        if self._params is None:
+            return f"{type(self).__name__} = n/a (lpips weights unavailable)"
+        return super().report()
 
 
 class BitAccMeter(_Meter):
