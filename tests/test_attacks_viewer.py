@@ -94,12 +94,16 @@ class TestOrbitCamera:
 
 
 class TestCLIPLossGating:
-    def test_degrades_gracefully_without_weights(self):
+    def test_unavailable_is_explicit_not_silent(self):
+        import pytest
+
         from nerf_signature_tpu.utils.clip_loss import CLIPLoss
 
         loss = CLIPLoss(model_name="nonexistent/model")
         assert not loss.available
-        assert loss(np.zeros((1, 8, 8, 3), np.float32)) == 0.0
+        assert "unavailable" in loss.error
+        with pytest.raises(RuntimeError, match="unavailable"):
+            loss(np.zeros((1, 8, 8, 3), np.float32))
 
 
 class TestViewerServer:
