@@ -165,7 +165,7 @@ class NeRFDatasetDisen:
 
         # ---- pseudo-GT for every train pose (self-distillation) ----
         if type == "train":
-            self.train_images = self._render_poses(self.poses, desc="pseudo-GT")
+            self.train_images = self._pseudo_gt_cached()
         else:
             self.train_images = None
 
@@ -268,6 +268,44 @@ class NeRFDatasetDisen:
             bg_color=None, perturb=False,
         )
         return np.asarray(out["image"], np.float32)
+
+    def _pseudo_gt_cached(self):
+        """Pseudo-GT pool with an optional disk cache (``--pseudo_gt_cache``).
+
+        The pool is a pure function of (frozen backbone, poses, intrinsics,
+        H, W, render budget), so re-rendering it on every CLI invocation is
+        wasted device time — at realistic resolutions it dominates startup.
+        The cache is fingerprinted against those inputs and ignored (with a
+        log line) on mismatch."""
+        cache = getattr(self.opt, "pseudo_gt_cache", None)
+        fp = None
+        if cache:
+            import jax
+            import jax.numpy as jnp
+
+            leaves = jax.tree_util.tree_leaves(
+                getattr(self.model, "backbone", None)
+                or getattr(self.model, "params", {})
+            )
+            psum = float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                             for l in leaves))
+            fp = np.array([
+                psum, float(np.abs(self.poses).sum()),
+                float(np.abs(self.intrinsics).sum()), self.H, self.W,
+                float(getattr(self.model, "infer_budget", 0)),
+            ], np.float64)
+            if os.path.exists(cache):
+                data = np.load(cache)
+                if np.allclose(data["fingerprint"], fp, rtol=1e-6):
+                    print(f"[pseudo-GT] loaded cache {cache}")
+                    return data["images"]
+                print(f"[pseudo-GT] cache {cache} stale "
+                      f"(backbone/pose mismatch); re-rendering")
+        images = self._render_poses(self.poses, desc="pseudo-GT")
+        if cache:
+            np.savez_compressed(cache, images=images, fingerprint=fp)
+            print(f"[pseudo-GT] saved cache {cache}")
+        return images
 
     def _render_poses(self, poses, desc=""):
         images = []

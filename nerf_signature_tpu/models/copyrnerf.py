@@ -66,13 +66,19 @@ def init_copyrnerf_mlp(key, message_dim, width=256, depth=3,
 
 
 def copyrnerf_color(params, x01, d, rgb, sigma_raw, message,
-                    n_freqs_pos=10, n_freqs_dir=4):
+                    n_freqs_pos=10, n_freqs_dir=4, replace=False):
     """Watermarked per-sample color.
 
     x01: [N, 3] in [0, 1] (scaled position; the reference feeds ``2*x-1``
     into its frequency encoder, ``network_copyrnerf_tcnn-checkpoint.py:188``);
     d: [N, 3] unit directions; rgb: [N, 3] clean color; sigma_raw: [N] the
     pre-activation density logit; message: [message_dim] 0/1 bits.
+
+    replace=True reproduces the upstream design exactly — the MLP REPLACES
+    the per-sample color (``color = self.msg_encoder(...)``, checkpoint
+    ``:193``); the default residual blend bounds the message channel to
+    +-0.5 around the clean color and starts AT the clean render at zero
+    init, so baseline tables must state which variant produced them.
     """
     n = x01.shape[0]
     msg = jnp.broadcast_to(
@@ -92,6 +98,10 @@ def copyrnerf_color(params, x01, d, rgb, sigma_raw, message,
     for layer in params["layers"][:-1]:
         h = jax.nn.relu(h @ layer["w"] + layer["b"])
     out = h @ params["layers"][-1]["w"] + params["layers"][-1]["b"]
+    if replace:
+        # upstream-exact: message MLP output IS the color (sigmoid head like
+        # the backbone's color net; checkpoint ``:193``)
+        return jax.nn.sigmoid(out)
     # residual blend around the clean color: sigmoid(logit(rgb) + out) would
     # need a stable logit; equivalent zero-init-safe form below keeps the
     # watermarked field exactly at the clean render when ``out == 0``.

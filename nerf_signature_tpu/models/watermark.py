@@ -58,6 +58,12 @@ class WatermarkConfig:
     # a color-space MLP instead of the codebook hash tables; extraction is
     # whole-image (ref network_copyrnerf_tcnn-checkpoint.py:56-58)
     copyrnerf: bool = False
+    # exact-fidelity CopyRNeRF variant: the msg MLP REPLACES the per-sample
+    # color outright (``color = self.msg_encoder(...)``, ref
+    # network_copyrnerf_tcnn-checkpoint.py:193) instead of the default
+    # zero-init-safe residual blend (bounded to +-0.5 around the clean color
+    # — baseline numbers from the blend are not 1:1 with the upstream design)
+    copyrnerf_replace: bool = False
 
     @property
     def decoder(self) -> HiddenDecoderConfig:
@@ -170,5 +176,6 @@ def wtmk_field(backbone, trainable, cfg: WatermarkConfig, x, d, message):
         rgb = copyrnerf_color(
             trainable["msg_mlp"], x01, d, rgb.astype(jnp.float32),
             h[..., 0].astype(jnp.float32), message,
+            replace=cfg.copyrnerf_replace,
         ).astype(rgb.dtype)
     return sigma, rgb

@@ -97,8 +97,11 @@ class ViewerServer:
         from PIL import Image
 
         while not self._stop.is_set():
-            while self._pending:
-                action = self._pending.pop(0)
+            while True:
+                with self.lock:  # _pending is fed from HTTP handler threads
+                    if not self._pending:
+                        break
+                    action = self._pending.pop(0)
                 try:
                     if action == "save":
                         path = self.viewer.trainer.save_checkpoint(full=True)
@@ -166,9 +169,11 @@ class ViewerServer:
         # save/mesh touch the device — queue them for the render thread so
         # JAX dispatch stays single-threaded (see _loop)
         if "save" in msg:
-            self._pending.append("save")
+            with self.lock:
+                self._pending.append("save")
         if "mesh" in msg:
-            self._pending.append("mesh")
+            with self.lock:
+                self._pending.append("mesh")
 
     def serve(self, blocking=True):
         server_self = self

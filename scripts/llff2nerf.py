@@ -61,10 +61,16 @@ def convert(scene_dir, images="images", downscale=1, out="transforms.json"):
     for f, p in zip(files, poses):
         c2w, hwf = llff_to_nerf_pose(p)
         if H is not None and not np.allclose(
-            [H, W, focal], [hwf[0], hwf[1], hwf[2]]
+            [H, W, focal], [hwf[0], hwf[1], hwf[2]], rtol=1e-3
         ):
-            print(f"warning: per-frame intrinsics differ "
-                  f"({(H, W, focal)} vs {tuple(hwf)}); using the last")
+            # a single global intrinsics block would silently give every
+            # other frame wrong camera parameters
+            raise ValueError(
+                f"per-frame intrinsics differ beyond tolerance: "
+                f"{(H, W, focal)} vs {tuple(hwf)} at {f}; LLFF scenes with "
+                f"heterogeneous cameras need per-frame intrinsics "
+                f"(unsupported by this converter)"
+            )
         H, W, focal = float(hwf[0]), float(hwf[1]), float(hwf[2])
         frames.append({
             "file_path": os.path.relpath(f, scene_dir),
