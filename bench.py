@@ -55,7 +55,14 @@ def main():
         # locality win; see ops.hashenc.level_sides)
         dense_coarse=os.environ.get("BENCH_DENSE") == "1",
     )
-    rc = RenderConfig(bound=1.0, grid_size=128, max_steps=1024)
+    # BENCH_COMPACT=<frac>: global sample compaction — pack occupied samples
+    # across the batch before the field (renderer.compact_frac; measured
+    # 13% mask fill on this scene, so the field otherwise computes ~7.6x
+    # more samples than exist)
+    rc = RenderConfig(
+        bound=1.0, grid_size=128, max_steps=1024,
+        compact_frac=float(os.environ.get("BENCH_COMPACT", "0")),
+    )
     n_rays, budget = 4096, 128
     H = W = 256
     n_poses = 16

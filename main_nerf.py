@@ -43,6 +43,7 @@ def main():
         dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
         grid_size=opt.grid_size, seed=opt.seed,
         train_budget=opt.train_budget, infer_budget=opt.infer_budget,
+        compact_frac=max(0.0, opt.compact_frac),
         num_steps=opt.num_steps, upsample_steps=opt.upsample_steps,
     )
 

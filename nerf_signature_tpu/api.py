@@ -265,7 +265,7 @@ class NGPModel(_BaseModel):
                  density_scale=1.0, min_near=0.2, density_thresh=0.01,
                  bg_radius=-1.0, dt_gamma=0.0, max_steps=1024,
                  grid_size=128, seed=0, train_budget=128, infer_budget=256,
-                 num_steps=128, upsample_steps=0):
+                 num_steps=128, upsample_steps=0, compact_frac=0.0):
         self.cfg = cfg or NGPConfig(
             bound=bound, density_scale=density_scale, bg_radius=bg_radius
         )
@@ -274,6 +274,7 @@ class NGPModel(_BaseModel):
             density_scale=density_scale, min_near=min_near, dt_gamma=dt_gamma,
             max_steps=max_steps, num_steps=num_steps,
             upsample_steps=upsample_steps, bg_radius=bg_radius,
+            compact_frac=compact_frac,
         )
         super().__init__(rc, seed=seed, cuda_ray=cuda_ray,
                          train_budget=train_budget, infer_budget=infer_budget)
@@ -312,7 +313,7 @@ class WatermarkModel(_BaseModel):
                  message_dim=16, n_views=1, cuda_ray=True, density_scale=1.0,
                  min_near=0.2, density_thresh=0.01, bg_radius=-1.0,
                  dt_gamma=0.0, max_steps=1024, grid_size=128, seed=0,
-                 train_budget=128, infer_budget=256):
+                 train_budget=128, infer_budget=256, compact_frac=0.0):
         self.wcfg = wcfg or WatermarkConfig(
             ngp=NGPConfig(
                 bound=bound, density_scale=density_scale, bg_radius=bg_radius
@@ -323,6 +324,7 @@ class WatermarkModel(_BaseModel):
             bound=self.wcfg.ngp.bound, grid_size=grid_size,
             density_scale=density_scale, min_near=min_near, dt_gamma=dt_gamma,
             max_steps=max_steps, bg_radius=bg_radius,
+            compact_frac=compact_frac,
         )
         super().__init__(rc, seed=seed, cuda_ray=cuda_ray,
                          train_budget=train_budget, infer_budget=infer_budget)

@@ -16,6 +16,7 @@ them, shard the ray axis, and chunk staged renders.
 """
 
 import dataclasses
+import math
 from typing import Callable, Optional
 
 import jax
@@ -44,6 +45,16 @@ class RenderConfig:
     num_steps: int = 128        # fixed-step path
     upsample_steps: int = 0     # fixed-step path
     bg_radius: float = -1.0
+    # Global sample compaction: run the field on only ~compact_frac * N * S
+    # sample slots (occupied samples packed across the whole ray batch) and
+    # expand the results back before compositing.  The static per-ray budget
+    # S pads unoccupied slots, and on converged scenes most slots are padding
+    # (measured 13% fill on the bench scene -> the field computes 7.6x more
+    # samples than exist).  0 disables.  Overflow (total occupied > slots)
+    # drops the tail samples of that batch — the analogue of the reference's
+    # mean_count buffer randomly dropping rays on overflow
+    # (``raymarching/raymarching.py:198-216``).
+    compact_frac: float = 0.0
 
 
 def render_rays_occ(
@@ -81,9 +92,39 @@ def render_rays_occ(
     )
     N, S = m["mask"].shape
 
-    sigmas, rgbs = field_fn(m["xyzs"].reshape(-1, 3), m["dirs"].reshape(-1, 3))
-    sigmas = sigmas.reshape(N, S) * rc.density_scale
-    rgbs = rgbs.reshape(N, S, 3)
+    Mc = 0
+    if rc.compact_frac > 0:
+        Mc = min(int(math.ceil(N * S * rc.compact_frac / 1024.0)) * 1024,
+                 N * S)
+    if 0 < Mc < N * S:
+        # pack occupied samples across the whole batch into Mc static slots
+        # (cumsum-rank + one scatter, the same compaction primitive as the
+        # marcher), run the field on the packed buffer, gather results back
+        flat_mask = m["mask"].reshape(-1)
+        rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+        keep = flat_mask & (rank < Mc)
+        dst = jnp.where(keep, rank, Mc)
+        xyz_c = (
+            jnp.zeros((Mc + 1, 3), m["xyzs"].dtype)
+            .at[dst].set(m["xyzs"].reshape(-1, 3), mode="drop")[:Mc]
+        )
+        dir_c = (
+            jnp.zeros((Mc + 1, 3), m["dirs"].dtype)
+            .at[dst].set(m["dirs"].reshape(-1, 3), mode="drop")[:Mc]
+        )
+        sig_c, rgb_c = field_fn(xyz_c, dir_c)
+        src = jnp.clip(rank, 0, Mc - 1)
+        sigmas = jnp.where(keep, sig_c[src], jnp.zeros((), sig_c.dtype))
+        rgbs = jnp.where(keep[:, None], rgb_c[src],
+                         jnp.zeros((), rgb_c.dtype))
+        sigmas = sigmas.reshape(N, S) * rc.density_scale
+        rgbs = rgbs.reshape(N, S, 3)
+    else:
+        sigmas, rgbs = field_fn(
+            m["xyzs"].reshape(-1, 3), m["dirs"].reshape(-1, 3)
+        )
+        sigmas = sigmas.reshape(N, S) * rc.density_scale
+        rgbs = rgbs.reshape(N, S, 3)
 
     out = composite_rays(
         sigmas, rgbs, m["deltas"], m["ts"], mask=m["mask"], T_thresh=rc.T_thresh

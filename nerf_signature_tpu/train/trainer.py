@@ -292,6 +292,33 @@ class Trainer:
                 if isinstance(v, (int, float)):
                     tb.add_scalar(f"train/{k}", v, self.global_step)
 
+    def _adapt_compaction(self, mean_occ):
+        """Auto sample-compaction (``--compact_frac -1``): pick the slot
+        fraction from measured occupancy (1.5x headroom, coarse buckets,
+        two-in-a-row hysteresis — a change recompiles the step)."""
+        if getattr(self.opt, "compact_frac", 0) != -1:
+            return
+        m = self.model
+        S = m.train_budget
+        fill = min(float(mean_occ), S) / S
+        target = next(
+            b for b in (0.25, 0.5, 1.0) if b >= min(1.0, 1.5 * fill)
+        )
+        cur = m.rc.compact_frac or 1.0
+        if target == cur:
+            self._compact_pending = None
+            return
+        if getattr(self, "_compact_pending", None) == target:
+            import dataclasses
+
+            m.rc = dataclasses.replace(
+                m.rc, compact_frac=0.0 if target == 1.0 else target
+            )
+            self._compact_pending = None
+            self.log(f"[compact] sample compaction -> {target}")
+        else:
+            self._compact_pending = target
+
     def _adapt_budget(self, n_occ):
         """mean_count analog: fit the static march budget to the scene
         (power-of-two buckets, hysteresis, ref ``raymarching.py:198-216``)."""
@@ -436,6 +463,7 @@ class Trainer:
             if (self.global_step % update_interval == update_interval - 1
                     and not gt_free):
                 self._adapt_budget(n_occ)
+                self._adapt_compaction(float(np.asarray(n_occ).mean()))
             total_loss += float(loss)
             nsteps += 1
             self.global_step += 1
@@ -503,6 +531,7 @@ class Trainer:
             )
             self.log_metrics(loss=float(losses.mean()), rays_per_sec=rays_s,
                              mean_occ=float(mean_occ))
+            self._adapt_compaction(float(mean_occ))
             start = time.time()
             self.epoch += 1
             # checkpoint periodically, NOT per dispatch: a full save fetches
