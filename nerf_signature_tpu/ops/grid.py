@@ -112,12 +112,20 @@ def update_occupancy_grid(
             n = H**3 // 4
             rand_coords = jax.random.randint(kcoord, (n, 3), 0, H, dtype=jnp.int32)
             rand_idx = (rand_coords[:, 0] * H + rand_coords[:, 1]) * H + rand_coords[:, 2]
-            # resample occupied cells uniformly-with-replacement (static shape)
-            occ_logits = jnp.where(grid.density[cas] > 0, 0.0, -jnp.inf)
+            # resample occupied cells uniformly-with-replacement (static
+            # shape) by inverse-CDF: cumsum over the occupancy mask +
+            # searchsorted.  NOT jax.random.categorical — its Gumbel-max
+            # broadcasts to an [n, H^3] intermediate (~1e12 ops at H=128,
+            # n=H^3/4), which made every 16th training step ~7x slower.
+            occ_mask = (grid.density[cas] > 0).astype(jnp.float32)
             # guard: if nothing occupied yet, fall back to uniform
-            any_occ = jnp.any(grid.density[cas] > 0)
-            occ_logits = jnp.where(any_occ, occ_logits, jnp.zeros_like(occ_logits))
-            occ_idx = jax.random.categorical(kocc, occ_logits, shape=(n,)).astype(jnp.int32)
+            any_occ = jnp.any(occ_mask > 0)
+            weights = jnp.where(any_occ, occ_mask, jnp.ones_like(occ_mask))
+            cdf = jnp.cumsum(weights)
+            u = jax.random.uniform(kocc, (n,)) * cdf[-1]
+            occ_idx = jnp.clip(
+                jnp.searchsorted(cdf, u), 0, H**3 - 1
+            ).astype(jnp.int32)
             occ_coords = jnp.stack(
                 [occ_idx // (H * H), (occ_idx // H) % H, occ_idx % H], axis=-1
             )

@@ -26,10 +26,16 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path, state: dict):
-    """state: arbitrary pytree dict (params / opt_state / occ / counters)."""
+    """state: arbitrary pytree dict (params / opt_state / occ / counters).
+
+    The write is ATOMIC (tmp file + rename): a training process killed
+    mid-save must never leave a truncated file where ``latest`` resolution
+    will pick it up."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(serialization.to_state_dict(_to_numpy(state)), f)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):
@@ -64,6 +70,14 @@ def latest_checkpoint(ckpt_dir, name):
     """Glob-discover the newest checkpoint, ref ``utils_wtmk_disen.py:1457-1465``."""
     lst = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.ckpt")))
     return lst[-1] if lst else None
+
+
+def checkpoint_candidates(ckpt_dir, name):
+    """All ring-buffer checkpoints, newest first — callers fall back down
+    the list if the newest is unreadable (e.g. written by a pre-atomic-save
+    build, or a torn filesystem)."""
+    return sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.ckpt")),
+                  reverse=True)
 
 
 def prune_checkpoints(ckpt_dir, name, max_keep=2):

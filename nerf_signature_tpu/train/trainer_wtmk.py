@@ -410,13 +410,21 @@ class WatermarkTrainer:
         if use_checkpoint == "scratch" or self.ckpt_path is None:
             pass
         elif use_checkpoint in ("latest", "latest_model", "best"):
-            path = (
-                self.best_path
-                if use_checkpoint == "best" and os.path.exists(self.best_path)
-                else latest_checkpoint(self.ckpt_path, name)
-            )
-            if path:
-                self.load_checkpoint(path, model_only="model" in use_checkpoint)
+            if use_checkpoint == "best" and os.path.exists(self.best_path):
+                candidates = [self.best_path]
+            else:
+                from .checkpoint import checkpoint_candidates
+
+                candidates = checkpoint_candidates(self.ckpt_path, name)
+            for path in candidates:
+                try:
+                    self.load_checkpoint(
+                        path, model_only="model" in use_checkpoint
+                    )
+                    break
+                except Exception as e:
+                    self.log(f"[ckpt] {path} unreadable ({e}); "
+                             f"falling back to previous")
         elif use_checkpoint and os.path.exists(use_checkpoint):
             self.load_checkpoint(use_checkpoint, model_only=True)
 
