@@ -30,10 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 4.0e5  # 2x A100 torch-ngp estimate (see docstring)
-# 8 steps/dispatch: a 32-step scan program reproducibly crashes the tunneled
-# TPU worker (kernel fault in the relay); 8 is stable and amortises dispatch
-# well enough (measured within ~1% of the 32-step rate when both complete).
-N_STEPS = int(os.environ.get("BENCH_STEPS", "8"))  # per dispatch
+# steps/dispatch: clamped at runtime by utils/dispatch.max_scan_steps —
+# a 32-step scan program reproducibly crashes the tunneled TPU worker
+# (kernel fault in the relay); 8 is stable and amortises dispatch well
+# enough (measured within ~1% of the 32-step rate when both complete).
+N_STEPS = int(os.environ.get("BENCH_STEPS", "8"))  # per dispatch (pre-clamp)
 
 
 def main():
@@ -66,7 +67,8 @@ def main():
     n_rays, budget = 4096, 128
     H = W = 256
     n_poses = 16
-    n_steps = N_STEPS
+    from nerf_signature_tpu.utils.dispatch import max_scan_steps
+    n_steps = max_scan_steps(N_STEPS)
 
     params = init_ngp_params(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(1e-2, 30000)

@@ -223,14 +223,32 @@ class _BaseModel:
             ro = jnp.concatenate([rays_o, jnp.ones((pad, 3))], 0) if pad else rays_o
             rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))], 0) if pad else rays_d
             if bg.shape[0] == 1 and not perturb and self.use_occ:
-                # fused path: the whole staged render is one lax.map program
+                # fused path: the staged render is a lax.map program, capped
+                # at the transport-safe program size (utils/dispatch.py) and
+                # dispatched per super-chunk — ONE compiled shape (tail
+                # super-chunk padded up), results concatenated host-side
+                from .utils.dispatch import max_fused_chunks
+
                 chunks = (N + pad) // max_ray_batch
-                image, depth = self._render_staged(
-                    ro.reshape(chunks, max_ray_batch, 3),
-                    rd.reshape(chunks, max_ray_batch, 3),
-                    message, bg, budget,
-                )
-                image, depth = image[:N], depth[:N]
+                cap = max_fused_chunks(chunks, budget)
+                gpad = (-chunks) % cap
+                if gpad:
+                    ro = jnp.concatenate(
+                        [ro, jnp.ones((gpad * max_ray_batch, 3))], 0)
+                    rd = jnp.concatenate(
+                        [rd, jnp.ones((gpad * max_ray_batch, 3))], 0)
+                groups = (chunks + gpad) // cap
+                ro = ro.reshape(groups, cap, max_ray_batch, 3)
+                rd = rd.reshape(groups, cap, max_ray_batch, 3)
+                images, depths = [], []
+                for g in range(groups):
+                    img, dep = self._render_staged(
+                        ro[g], rd[g], message, bg, budget,
+                    )
+                    images.append(img)
+                    depths.append(dep)
+                image = jnp.concatenate(images, 0)[:N]
+                depth = jnp.concatenate(depths, 0)[:N]
             else:
                 bgs = jnp.broadcast_to(bg, (N + pad, 3)) if bg.shape[0] > 1 else bg
                 images, depths = [], []

@@ -513,6 +513,9 @@ class Trainer:
         em = getattr(loader, "error_map", None)
         em = jnp.asarray(np.asarray(em, np.float32)) if em is not None else None
 
+        from ..utils.dispatch import max_scan_steps
+
+        steps_per_dispatch = max_scan_steps(steps_per_dispatch)
         start = time.time()
         while self.global_step < max_steps:
             k = min(steps_per_dispatch, max_steps - self.global_step)
@@ -551,6 +554,25 @@ class Trainer:
             ) == 0:
                 self.save_checkpoint(full=True)
                 prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
+                # fog-deadlock guard: an occupancy grid that never prunes
+                # (frac ~1) starves the march budget on near-camera fog and
+                # training converges to mush — almost always a too-low
+                # --density_thresh (threshold is min(mean_density, thresh))
+                occ_frac = float(jnp.mean(
+                    m.occ.occupancy.astype(jnp.float32)
+                ))
+                self.log(f"[grid] occupancy frac {occ_frac:.3f} "
+                         f"mean_density {float(m.occ.mean_density):.3f}")
+                if (occ_frac > 0.9 and self.global_step > 500
+                        and not getattr(self, "_warned_fog", False)):
+                    self._warned_fog = True
+                    self.log(
+                        "[grid] WARNING: occupancy grid is >90% occupied "
+                        "after 500 steps — the march budget is being spent "
+                        "on unpruned fog. Raise --density_thresh (the "
+                        "torch-ngp Blender recipe uses 10) or check the "
+                        "scene scale."
+                    )
         if self.workspace:
             self.save_checkpoint(full=True)
             prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)

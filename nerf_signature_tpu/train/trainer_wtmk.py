@@ -556,6 +556,9 @@ class WatermarkTrainer:
         # rays/step = content rays + key-block rays (consistent with BENCH_WM)
         rays_per_step = self.opt.num_rays + int(np.prod(ro_b.shape[:-1]))
 
+        from ..utils.dispatch import max_scan_steps
+
+        steps_per_dispatch = max_scan_steps(steps_per_dispatch)
         start = time.time()
         while self.global_step < max_steps:
             k = min(steps_per_dispatch, max_steps - self.global_step)

@@ -106,6 +106,11 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "with K steps per dispatch (uniform sampling)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (debug)")
+    parser.add_argument("--save_interval", type=int, default=10,
+                        help="checkpoint every N epochs/dispatches; a FULL "
+                             "save fetches params+EMA+opt state off the "
+                             "device (~280 MB at headline scale), so raise "
+                             "this on slow transports")
     parser.add_argument("--profile", action="store_true",
                         help="dump a jax.profiler trace of the first training "
                              "steps to <workspace>/profile")
@@ -139,7 +144,6 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     parser.add_argument("--num_cols", type=int, default=16)
     parser.add_argument("--use_existset", action="store_true")
     parser.add_argument("--eval_interval", type=int, default=10)
-    parser.add_argument("--save_interval", type=int, default=10)
     parser.add_argument("--num_images_test", type=int, default=360)
     parser.add_argument("--n_test_bitacc", type=int, default=200,
                         help="random messages per bit-accuracy evaluation "
