@@ -20,6 +20,7 @@ Equivalent of ``nerf/provider_wtmk.py:317-626`` (``NeRFDataset_Disen``):
 import io
 import json
 import os
+import time
 
 import numpy as np
 
@@ -309,10 +310,16 @@ class NeRFDatasetDisen:
 
     def _render_poses(self, poses, desc=""):
         images = []
+        t0 = time.time()
         for i in range(len(poses)):
             rays = get_rays(poses[i:i+1], self.intrinsics, self.H, self.W, -1)
             img = self._render_rays(rays["rays_o"][0], rays["rays_d"][0])
             images.append(img.reshape(self.H, self.W, 3))
+            # the pool render is minutes-long on slow transports — show life
+            if desc and (i + 1) % 20 == 0:
+                rate = (i + 1) / max(time.time() - t0, 1e-9)
+                print(f"[{desc}] rendered {i + 1}/{len(poses)} views "
+                      f"(eta {(len(poses) - i - 1) / rate:.0f}s)", flush=True)
         return np.stack(images)
 
     # ------------------------------------------------------------------
