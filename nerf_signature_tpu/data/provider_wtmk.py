@@ -310,13 +310,17 @@ class NeRFDatasetDisen:
 
     def _render_poses(self, poses, desc=""):
         images = []
+        if desc:
+            # the pool render is minutes-long on slow transports — show life
+            # frequently enough that stall watchdogs never false-trigger
+            print(f"[{desc}] rendering {len(poses)} views "
+                  f"({self.H}x{self.W})...", flush=True)
         t0 = time.time()
         for i in range(len(poses)):
             rays = get_rays(poses[i:i+1], self.intrinsics, self.H, self.W, -1)
             img = self._render_rays(rays["rays_o"][0], rays["rays_d"][0])
             images.append(img.reshape(self.H, self.W, 3))
-            # the pool render is minutes-long on slow transports — show life
-            if desc and (i + 1) % 20 == 0:
+            if desc and (i + 1) % 5 == 0:
                 rate = (i + 1) / max(time.time() - t0, 1e-9)
                 print(f"[{desc}] rendered {i + 1}/{len(poses)} views "
                       f"(eta {(len(poses) - i - 1) / rate:.0f}s)", flush=True)
