@@ -146,7 +146,8 @@ def main():
                 test_bitacc_loader=test_bitacc_loader,
             )
         else:
-            max_epoch = int(np.ceil(opt.iters / len(train_loader)))
+            total = opt.iters + getattr(opt, "wm_polish_iters", 0)
+            max_epoch = int(np.ceil(total / len(train_loader)))
             trainer.train(train_loader, test_image_loader,
                           test_bitacc_loader, max_epoch)
         trainer.test_image(

@@ -339,6 +339,16 @@ class WatermarkTrainer:
         self.loss_kind = getattr(opt, "loss_w", "bce")
         self.distortion = getattr(opt, "distortion", "none")
         self.message_dim = opt.message_dim
+        # post-lock content polish (--wm_polish_iters): extra iters appended
+        # after the main schedule with lambda_w dropped to
+        # --wm_polish_lambda_w, so the content loss recovers image quality
+        # while the locked bit margins survive (measured: 50 pure-image-MSE
+        # finetune-attack steps leave bit-acc ~0.99, train/attack.py).
+        # No reference equivalent — a quality/robustness knob this side of
+        # the bits-vs-PSNR tradeoff.
+        self.polish_iters = int(getattr(opt, "wm_polish_iters", 0) or 0)
+        self.total_iters = opt.iters + self.polish_iters
+        self._polishing = False
         # content rays render at the pseudo-GT budget by default: the
         # pseudo-GT pool is produced at infer_budget (provider_wtmk), so a
         # train_budget content render gives loss_i a floor that is pure
@@ -485,12 +495,13 @@ class WatermarkTrainer:
     def train_one_epoch(self, loader):
         tot, totw, toti, n = 0.0, 0.0, 0.0, 0
         for data in loader:
+            self._maybe_enter_polish(self.opt.iters)
             message = self.random_message()  # fresh per step, ref :1165
             loss, lossw, lossi, _ = self.train_step_data(data, message)
             tot += float(loss); totw += float(lossw); toti += float(lossi)
             n += 1
             self.global_step += 1
-            if self.global_step >= self.opt.iters:
+            if self.global_step >= self.total_iters:
                 break
         self.stats["loss"].append(tot / max(n, 1))
         self.stats["lossw"].append(totw / max(n, 1))
@@ -524,7 +535,7 @@ class WatermarkTrainer:
             if self.workspace and epoch % self.save_interval == 0:
                 self.save_checkpoint(full=True)
                 prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
-            if self.global_step >= self.opt.iters:
+            if self.global_step >= self.total_iters:
                 break
         if self.workspace:
             self.save_checkpoint(full=True)
@@ -559,9 +570,11 @@ class WatermarkTrainer:
         from ..utils.dispatch import max_scan_steps
 
         steps_per_dispatch = max_scan_steps(steps_per_dispatch)
+        total = max_steps + self.polish_iters
         start = time.time()
-        while self.global_step < max_steps:
-            k = min(steps_per_dispatch, max_steps - self.global_step)
+        while self.global_step < total:
+            self._maybe_enter_polish(max_steps)
+            k = min(steps_per_dispatch, total - self.global_step)
             (m.trainable, self.opt_state, losses, lossws, lossis
              ) = _wm_device_loop(
                 m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
@@ -595,6 +608,19 @@ class WatermarkTrainer:
                 prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
         if self.workspace:
             self.save_checkpoint(full=True)
+
+    def _maybe_enter_polish(self, main_iters):
+        """Switch to the content-polish lambda once the main schedule ends."""
+        if (self.polish_iters and not self._polishing
+                and self.global_step >= main_iters):
+            self._polishing = True
+            self.lambda_w = float(
+                getattr(self.opt, "wm_polish_lambda_w", 0.0) or 0.0
+            )
+            self.log(
+                f"[polish] entering {self.polish_iters}-iter content polish "
+                f"at lambda_w={self.lambda_w} (bits locked; recovering PSNR)"
+            )
 
     def _save_gt_blocks(self, loader):
         """Dump the GT key-block crops once (ref ``:766-789``)."""

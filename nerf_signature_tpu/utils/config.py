@@ -155,6 +155,13 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
                         help="npz path caching the rendered pseudo-GT pool "
                              "across CLI invocations (fingerprinted against "
                              "backbone+poses; stale caches re-render)")
+    parser.add_argument("--wm_polish_iters", type=int, default=0,
+                        help="extra iters appended after the main wm "
+                             "schedule with lambda_w dropped to "
+                             "--wm_polish_lambda_w: the content loss "
+                             "recovers PSNR while locked bit margins "
+                             "survive (cf. the finetune-attack result)")
+    parser.add_argument("--wm_polish_lambda_w", type=float, default=0.0)
     parser.add_argument("--wm_content_budget", type=int, default=0,
                         help="march budget for wm-stage CONTENT rays; 0 = "
                              "match the pseudo-GT render budget "

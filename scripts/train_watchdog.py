@@ -31,12 +31,33 @@ import sys
 import time
 
 
+def _install_term_handler():
+    """Kill the supervised process group when the watchdog itself is
+    terminated (e.g. an outer ``timeout``): without this the child — in its
+    own session — would be orphaned and keep holding the device."""
+    def _on_term(signum, _frame):
+        pgid = _CURRENT_CHILD.get("pgid")
+        if pgid:
+            try:
+                os.killpg(pgid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+
+_CURRENT_CHILD = {}
+
+
 def run_once(cmd, stall_timeout, startup_grace):
     """Run cmd until exit or stall.  Returns ('exit', rc) or ('stall', None)."""
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         start_new_session=True,  # own process group: killpg reaps jax too
     )
+    _CURRENT_CHILD["pgid"] = proc.pid
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
     start = time.time()
@@ -61,6 +82,7 @@ def run_once(cmd, stall_timeout, startup_grace):
                     sys.stdout.buffer.flush()
                 return "exit", proc.returncode
     finally:
+        _CURRENT_CHILD.pop("pgid", None)
         if proc.poll() is None:
             try:
                 os.killpg(proc.pid, signal.SIGKILL)
@@ -86,6 +108,7 @@ def main():
     cmd = args.cmd[1:] if args.cmd[:1] == ["--"] else args.cmd
     if not cmd:
         ap.error("no command given (use: train_watchdog.py [opts] -- cmd ...)")
+    _install_term_handler()
 
     for attempt in range(args.max_restarts + 1):
         if attempt:

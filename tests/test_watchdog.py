@@ -47,3 +47,42 @@ def test_nonzero_exit_restarts():
                "--restart-delay", "0", child=child)
     assert r.returncode == 0
     assert "first-fail" in r.stdout and "second-ok" in r.stdout
+
+
+def test_sigterm_reaps_child():
+    """An outer TERM (e.g. `timeout`) must not orphan the supervised child."""
+    import signal
+    import tempfile
+    import time
+
+    marker = tempfile.mktemp()
+    child = (
+        "import time, os\n"
+        f"open({marker!r}, 'w').write(str(os.getpid()))\n"
+        "print('up', flush=True)\n"
+        "time.sleep(120)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, WD, "--stall-timeout", "60", "--startup-grace",
+         "60", "--", sys.executable, "-c", child],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    deadline = time.time() + 60
+    while not os.path.exists(marker) and time.time() < deadline:
+        time.sleep(0.3)
+    assert os.path.exists(marker), "child never started"
+    child_pid = int(open(marker).read())
+    time.sleep(0.5)
+    proc.send_signal(signal.SIGTERM)
+    proc.wait(timeout=30)
+    # child must be gone shortly after
+    for _ in range(40):
+        try:
+            os.kill(child_pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.25)
+    else:
+        os.kill(child_pid, 9)
+        raise AssertionError("watchdog orphaned its child on SIGTERM")
+    os.remove(marker)
