@@ -86,6 +86,17 @@ def main():
         ).dataloader()
 
     if opt.test:
+        if not getattr(trainer, "_wm_state_loaded", False):
+            # an explicit --ckpt pointing at a CLEAN-stage checkpoint loads
+            # only the backbone; msg tables + decoder stay at init and every
+            # bit-accuracy below will be chance.  The wm state lives in the
+            # workspace ring — resolve it with --ckpt latest.
+            print(
+                "[warn] test mode with a freshly-initialised watermark "
+                "state (the --ckpt file held no msg/decoder weights): "
+                "bit accuracy will be ~0.5. Use --ckpt latest (or point "
+                "--ckpt at a watermark-stage checkpoint).", flush=True,
+            )
         trainer.test_bitacc(make_loader("test", opt.n_views, opt.n_test_bitacc))
         if opt.attack_suite:
             from nerf_signature_tpu.train.attack import attack_sweep
@@ -120,19 +131,23 @@ def main():
             trainer.log("[finetune_attack] bit accuracy AFTER backbone "
                         "finetuning attack:")
             trainer.test_bitacc(make_loader("test", opt.n_views, opt.n_test_bitacc))
+            if opt.num_images_test > 0:
+                trainer.test_image(
+                    make_loader("test_image", opt.num_images_test, 4),
+                    name="test_image_after_finetune_attack",
+                )
+            model.backbone = original_bb
+        # --num_images_test 0 skips the image-quality renders entirely
+        # (bit-accuracy-only evaluation)
+        if opt.num_images_test > 0:
             trainer.test_image(
                 make_loader("test_image", opt.num_images_test, 4),
-                name="test_image_after_finetune_attack",
+                name="test_image_from_randomviews",
             )
-            model.backbone = original_bb
-        trainer.test_image(
-            make_loader("test_image", opt.num_images_test, 4),
-            name="test_image_from_randomviews",
-        )
-        trainer.test_image(
-            make_loader("test_image_testviews", opt.num_images_test, 4),
-            name="test_image_from_testviews",
-        )
+            trainer.test_image(
+                make_loader("test_image_testviews", opt.num_images_test, 4),
+                name="test_image_from_testviews",
+            )
     else:
         fresh = not os.path.exists(keyposes)
         train_loader = make_loader("train", opt.n_views, 100, fresh_keys=fresh)

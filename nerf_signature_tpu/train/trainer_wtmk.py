@@ -779,6 +779,7 @@ class WatermarkTrainer:
             m.backbone = restore_like(m.backbone, raw["backbone"])
             if "trainable" in raw:
                 m.trainable = restore_like(m.trainable, raw["trainable"])
+                self._wm_state_loaded = True
         elif "params" in raw:  # clean-stage checkpoint
             m.backbone = restore_like(m.backbone, raw["params"])
         if "occ" in raw:
