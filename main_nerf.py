@@ -62,7 +62,8 @@ def main():
             if not opt.test else None
         )
         ViewerServer(trainer, train_loader, W=opt.W, H=opt.H,
-                     radius=opt.radius, fovy=opt.fovy).serve()
+                     radius=opt.radius, fovy=opt.fovy,
+                     max_spp=opt.max_spp).serve()
         return
 
     if opt.test:

@@ -54,12 +54,15 @@ def rand_poses(rng, size, radius=1.0, theta_range=(np.pi / 3, 2 * np.pi / 3),
 
 
 def get_rays(poses, intrinsics, H, W, N=-1, rng=None, error_map=None,
-             patch_size=1):
+             patch_size=1, jitter_rng=None):
     """Generate rays for B poses; mirrors ``nerf/utils.py:54-139``.
 
     poses: [B, 4, 4] cam2world (numpy); intrinsics: (fx, fy, cx, cy).
     N > 0 samples N pixels per pose (uniform / patch / error-map modes);
-    N <= 0 returns all H*W rays.  Returns numpy dict:
+    N <= 0 returns all H*W rays.  ``jitter_rng``: sub-pixel U(0,1) offsets
+    instead of the +0.5 pixel centers — the viewer's progressive
+    supersampling path (ref ``nerf/gui.py`` spp accumulation).  Returns
+    numpy dict:
       rays_o, rays_d: [B, N, 3]; inds: [B, N]; (inds_coarse when error_map).
     """
     poses = np.asarray(poses, np.float32)
@@ -101,13 +104,18 @@ def get_rays(poses, intrinsics, H, W, N=-1, rng=None, error_map=None,
             inds = ix * W + iy
             results["inds_coarse"] = inds_coarse
         results["inds"] = inds
-        i = (inds % W).astype(np.float32) + 0.5
-        j = (inds // W).astype(np.float32) + 0.5
+        i = (inds % W).astype(np.float32)
+        j = (inds // W).astype(np.float32)
     else:
         inds = np.broadcast_to(np.arange(H * W), (B, H * W))
         results["inds"] = inds
-        i = (inds % W).astype(np.float32) + 0.5
-        j = (inds // W).astype(np.float32) + 0.5
+        i = (inds % W).astype(np.float32)
+        j = (inds // W).astype(np.float32)
+    if jitter_rng is None:
+        i, j = i + 0.5, j + 0.5
+    else:
+        i = i + jitter_rng.random(i.shape, dtype=np.float32)
+        j = j + jitter_rng.random(j.shape, dtype=np.float32)
 
     zs = np.ones_like(i)
     xs = (i - cx) / fx * zs

@@ -79,7 +79,8 @@ class OrbitCamera:
 
 class Viewer:
     def __init__(self, trainer, train_loader=None, W=800, H=800, radius=2.0,
-                 fovy=60.0, train_budget_ms=500.0, render_budget_ms=200.0):
+                 fovy=60.0, train_budget_ms=500.0, render_budget_ms=200.0,
+                 max_spp=1):
         self.trainer = trainer
         self.model = trainer.model
         self.train_loader = train_loader
@@ -91,6 +92,18 @@ class Viewer:
         # panel state (ref gui.py:156-427: mode selector + bg color picker)
         self.mode = "rgb"           # 'rgb' | 'depth'
         self.bg_color = 1.0
+        # progressive supersampling while the camera is static
+        # (ref gui.py: spp accumulates jittered renders up to max_spp)
+        self.max_spp = int(max_spp)
+        self.spp = 0                # samples accumulated in self._accum
+        self._accum = None          # running mean image [H, W, 3]
+        self._accum_key = None      # (pose bytes, ds, mode, bg) of the accum
+        self._jitter_rng = np.random.default_rng(0)
+
+    def reset_accum(self):
+        """Invalidate the supersampling accumulator (call when the scene
+        changes under a static camera, e.g. between training slices)."""
+        self._accum, self.spp, self._accum_key = None, 0, None
 
     # -- training slice (adaptive like gui.py:106-111) -----------------------
     def train_steps(self):
@@ -129,14 +142,26 @@ class Viewer:
 
     # -- single-view render (adaptive downscale like gui.py:134-140) ---------
     def render_view(self, pose=None, downscale=None):
+        """One frame; with ``max_spp > 1``, repeated calls at a static camera
+        accumulate sub-pixel-jittered renders into a running mean (the
+        reference GUI's progressive supersampling, ``nerf/gui.py`` spp loop).
+        Any pose / downscale / mode / bg change resets the accumulator."""
         import jax.numpy as jnp
 
         pose = pose if pose is not None else self.cam.pose
         ds = downscale or self.downscale
         H, W = int(self.cam.H // ds), int(self.cam.W // ds)
         intr = self.cam.intrinsics / ds
+        key = (pose.astype(np.float32).tobytes(), H, W, self.mode,
+               float(self.bg_color))
+        if key != self._accum_key:
+            self._accum, self.spp, self._accum_key = None, 0, key
+        if self.spp >= self.max_spp and self._accum is not None:
+            return self._accum, 0.0  # converged — free frame
         t0 = time.perf_counter()
-        rays = get_rays(pose[None], intr, H, W, -1)
+        # first sample at pixel centers (crisp preview), then jittered
+        jit = self._jitter_rng if self.spp > 0 else None
+        rays = get_rays(pose[None], intr, H, W, -1, jitter_rng=jit)
         out = self.model.render(
             jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"]),
             staged=True, max_ray_batch=4096,
@@ -148,10 +173,19 @@ class Viewer:
             img = np.repeat(d[..., None], 3, axis=-1)
         else:
             img = np.clip(np.asarray(out["image"]).reshape(H, W, 3), 0, 1)
+        # running mean over spp samples
+        if self._accum is None:
+            self._accum = img
+        else:
+            self._accum = self._accum + (img - self._accum) / (self.spp + 1)
+        self.spp += 1
+        img = self._accum
         dt_ms = (time.perf_counter() - t0) * 1e3
-        # adapt resolution toward the frame budget
-        ratio = np.sqrt(dt_ms / self.render_budget_ms)
-        self.downscale = float(np.clip(ds * ratio, 1, 8))
+        # adapt resolution toward the frame budget (only while not refining —
+        # refinement frames should keep the resolution that converged)
+        if self.spp <= 1:
+            ratio = np.sqrt(dt_ms / self.render_budget_ms)
+            self.downscale = float(np.clip(ds * ratio, 1, 8))
         return img, dt_ms
 
     # -- offline turntable ----------------------------------------------------

@@ -81,9 +81,9 @@ tick();
 
 class ViewerServer:
     def __init__(self, trainer, train_loader=None, W=800, H=800, radius=2.0,
-                 fovy=60.0, host="127.0.0.1", port=7007):
+                 fovy=60.0, host="127.0.0.1", port=7007, max_spp=1):
         self.viewer = Viewer(trainer, train_loader, W=W, H=H, radius=radius,
-                             fovy=fovy)
+                             fovy=fovy, max_spp=max_spp)
         self.host, self.port = host, port
         self.training = False
         self.frame = None          # latest JPEG bytes
@@ -120,13 +120,19 @@ class ViewerServer:
             info = {}
             if self.training and self.viewer.train_loader is not None:
                 info = self.viewer.train_steps()
+                # the model moved under the camera — restart supersampling
+                self.viewer.reset_accum()
+            if (not self.training and self.viewer.spp >= self.viewer.max_spp
+                    and self.viewer._accum is not None):
+                time.sleep(0.05)  # converged static frame — idle, don't spin
             img, dt_ms = self.viewer.render_view()
             buf = io.BytesIO()
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 buf, "JPEG", quality=90
             )
             stats = (f"render {dt_ms:6.1f} ms  downscale "
-                     f"{self.viewer.downscale:.2f}")
+                     f"{self.viewer.downscale:.2f}  spp "
+                     f"{self.viewer.spp}/{self.viewer.max_spp}")
             if info:
                 stats += (f" | train loss {info.get('loss', 0):.5f} "
                           f"({info.get('next_steps', 0)} steps/frame)")

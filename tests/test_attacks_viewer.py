@@ -212,3 +212,66 @@ class TestViewerGridMaintenance:
         # grid maintenance ran: iter_density advanced (occupancy itself may
         # stay sparse at random init, but the update must have happened)
         assert int(model.occ.iter_density) > 0
+
+
+class TestProgressiveSupersampling:
+    def _mk_viewer(self, max_spp):
+        import types
+
+        from nerf_signature_tpu.api import NGPModel
+        from nerf_signature_tpu.models.ngp import NGPConfig
+        from nerf_signature_tpu.train.trainer import Trainer
+        from nerf_signature_tpu.viewer import Viewer
+
+        cfg = NGPConfig(bound=1.0, n_levels=4, log2_hashmap_size=10,
+                        finest_resolution=64, compute_dtype=jnp.float32)
+        model = NGPModel(cfg, grid_size=16, max_steps=16, infer_budget=8)
+        opt = types.SimpleNamespace(lr=1e-2, iters=10, devices=0, num_rays=32)
+        tr = Trainer("v", opt, model, workspace=None,
+                     use_checkpoint="scratch", mute=True)
+        return Viewer(tr, None, W=16, H=16, max_spp=max_spp)
+
+    def test_static_camera_accumulates_to_max_spp(self):
+        """spp climbs per call at a fixed pose, then frames become free
+        (ref nerf/gui.py progressive spp accumulation)."""
+        v = self._mk_viewer(max_spp=3)
+        img1, dt1 = v.render_view(downscale=1)
+        assert v.spp == 1 and dt1 > 0
+        img2, _ = v.render_view(downscale=1)
+        assert v.spp == 2
+        img3, _ = v.render_view(downscale=1)
+        assert v.spp == 3
+        # converged: further calls return the accumulator without rendering
+        img4, dt4 = v.render_view(downscale=1)
+        assert v.spp == 3 and dt4 == 0.0
+        assert np.array_equal(img3, img4)
+        assert img1.shape == img2.shape == (16, 16, 3)
+
+    def test_camera_move_resets_accumulator(self):
+        v = self._mk_viewer(max_spp=4)
+        v.render_view(downscale=1)
+        v.render_view(downscale=1)
+        assert v.spp == 2
+        v.cam.orbit(40, 0)
+        v.render_view(downscale=1)
+        assert v.spp == 1  # new pose restarted the accumulation
+
+    def test_reset_accum_invalidates(self):
+        v = self._mk_viewer(max_spp=4)
+        v.render_view(downscale=1)
+        v.reset_accum()
+        assert v.spp == 0 and v._accum is None
+
+    def test_jittered_rays_differ_from_centered(self):
+        from nerf_signature_tpu.data.rays import get_rays
+
+        pose = np.eye(4, dtype=np.float32)[None]
+        intr = np.array([20.0, 20.0, 8.0, 8.0])
+        centered = get_rays(pose, intr, 16, 16, -1)
+        jit = get_rays(pose, intr, 16, 16, -1,
+                       jitter_rng=np.random.default_rng(0))
+        assert not np.allclose(centered["rays_d"], jit["rays_d"])
+        # jitter stays inside the pixel: direction tangents within one pixel
+        # of the centered ones
+        dd = np.abs(centered["rays_d"] - jit["rays_d"]).max()
+        assert dd < (1.0 / 20.0) * 2  # < 2 pixel widths of tangent delta
