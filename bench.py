@@ -59,10 +59,12 @@ def main():
     # BENCH_COMPACT=<frac>: global sample compaction — pack occupied samples
     # across the batch before the field (renderer.compact_frac; measured
     # 13% mask fill on this scene, so the field otherwise computes ~7.6x
-    # more samples than exist)
+    # more samples than exist).  Default 0.25 = what --compact_frac -1
+    # (auto) settles on at this occupancy; measured sweep on-chip:
+    # 0 -> 7.9k, 0.25 -> 19.3k (2.43x), 0.5 -> 12.4k rays/s (PERF.md).
     rc = RenderConfig(
         bound=1.0, grid_size=128, max_steps=1024,
-        compact_frac=float(os.environ.get("BENCH_COMPACT", "0")),
+        compact_frac=float(os.environ.get("BENCH_COMPACT", "0.25")),
     )
     n_rays, budget = 4096, 128
     H = W = 256
