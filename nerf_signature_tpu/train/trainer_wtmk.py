@@ -670,7 +670,22 @@ class WatermarkTrainer:
         ro_b, rd_b = self._wm_rays(wm)
         ro_b, rd_b = jnp.asarray(ro_b), jnp.asarray(rd_b)
         done = 0
+        t0 = time.time()
+        next_report = 60.0  # progress heartbeat: long evals look like a
+        # stall to watchdogs otherwise (each batched dispatch syncs to host,
+        # so this costs nothing extra)
+        self.log(
+            f"[test_bitacc] evaluating {n_trials} messages "
+            f"(batch {batch}; first dispatch compiles)"
+        )
         while done < n_trials:
+            if time.time() - t0 >= next_report:
+                next_report += 60.0
+                self.log(
+                    f"[test_bitacc] {done}/{n_trials} messages "
+                    f"(acc so far {meter.measure():.4f}, "
+                    f"{time.time() - t0:.0f}s)"
+                )
             use = min(batch, n_trials - done)
             if batch == 1:
                 # documented sequential escape hatch (per-message dispatch,
