@@ -24,6 +24,7 @@ ball projection) and the sweep evaluation are single jitted programs.
 """
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -79,10 +80,20 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
 
         return jax.vmap(one)(messages, keys)
 
+    t0 = time.time()
+    next_report = 60.0
     for attack in attacks:
         meter = BitAccMeter()
         done = 0
         while done < n_test:
+            if time.time() - t0 >= next_report:
+                # watchdog heartbeat — each attack is its own compiled
+                # program and dispatches are silent otherwise
+                next_report = time.time() - t0 + 60.0
+                trainer.log(
+                    f"[attack_sweep] {attack}: {done}/{n_test} messages "
+                    f"({time.time() - t0:.0f}s)"
+                )
             # full batch shape every dispatch (tail rows discarded) — one
             # compiled program per attack
             use = min(batch, n_test - done)
