@@ -151,6 +151,9 @@ def main():
     else:
         fresh = not os.path.exists(keyposes)
         train_loader = make_loader("train", opt.n_views, 100, fresh_keys=fresh)
+        # --compact_frac -1: occupancy is frozen in the wm stage, so auto
+        # mode resolves once from a probe render (clean CLI adapts in-loop)
+        trainer.resolve_auto_compaction(train_loader)
         test_bitacc_loader = make_loader("test", opt.n_views, opt.n_test_bitacc)
         test_image_loader = make_loader("test_image", opt.num_images_test, 4)
         if opt.steps_per_dispatch > 0:

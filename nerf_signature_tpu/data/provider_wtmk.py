@@ -296,15 +296,29 @@ class NeRFDatasetDisen:
                 float(getattr(self.model, "infer_budget", 0)),
             ], np.float64)
             if os.path.exists(cache):
-                data = np.load(cache)
-                if np.allclose(data["fingerprint"], fp, rtol=1e-6):
-                    print(f"[pseudo-GT] loaded cache {cache}")
-                    return data["images"]
-                print(f"[pseudo-GT] cache {cache} stale "
-                      f"(backbone/pose mismatch); re-rendering")
+                try:
+                    data = np.load(cache)
+                    match = np.allclose(data["fingerprint"], fp, rtol=1e-6)
+                    imgs = data["images"] if match else None
+                except Exception as e:  # truncated/corrupt file (e.g. a
+                    # watchdog SIGKILL mid-save) must fall back to
+                    # re-rendering, not crash every restart
+                    print(f"[pseudo-GT] cache {cache} unreadable "
+                          f"({type(e).__name__}: {e}); re-rendering")
+                    imgs = None
+                else:
+                    if match:
+                        print(f"[pseudo-GT] loaded cache {cache}")
+                    else:
+                        print(f"[pseudo-GT] cache {cache} stale "
+                              f"(backbone/pose mismatch); re-rendering")
+                if imgs is not None:
+                    return imgs
         images = self._render_poses(self.poses, desc="pseudo-GT")
         if cache:
-            np.savez_compressed(cache, images=images, fingerprint=fp)
+            tmp = cache + ".tmp.npz"  # .npz suffix so savez doesn't append
+            np.savez_compressed(tmp, images=images, fingerprint=fp)
+            os.replace(tmp, cache)
             print(f"[pseudo-GT] saved cache {cache}")
         return images
 

@@ -62,23 +62,38 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     rays_o_b = jnp.asarray(ro_b)
     rays_d_b = jnp.asarray(rd_b)
 
-    @functools.partial(jax.jit, static_argnames=("attack",))
-    def decode_batch(messages, keys, attack):
-        # multi-view aware: blocks come back [D, bh, bw, 3] or [D, bh, bw,
-        # V*3]; attacks + normalisation run per view, batch stats per message
-        def one(message, key):
-            blocks = _render_blocks(
+    # TWO jit programs, not one fused render+attack+decode: the fused
+    # program's serialized HLO exceeded the relay's request-size limit
+    # (HTTP 413 on remote_compile, then a wedged worker — observed live on
+    # the 32-bit multiobj campaign).  The render program below is the same
+    # shape as test_bitacc's, which is known to fit; the attack+decode
+    # program is tiny.  Blocks stay on device between the two dispatches.
+    @jax.jit
+    def render_batch(messages):
+        def one(message):
+            return _render_blocks(
                 m.backbone, m.trainable, m.occ.occupancy, rays_o_b, rays_d_b,
                 message, m.wcfg, m.rc, m.infer_budget,
             )
-            blocks = _per_view(
-                lambda x: normalize_img(ATTACKS[attack](key, x)), blocks
+
+        return jax.vmap(one)(messages)
+
+    @functools.partial(jax.jit, static_argnames=("attack",))
+    def attack_decode_batch(blocks, keys, attack):
+        # multi-view aware: blocks come back [D, bh, bw, 3] or [D, bh, bw,
+        # V*3]; attacks + normalisation run per view, batch stats per message
+        def one(blk, key):
+            blk = _per_view(
+                lambda x: normalize_img(ATTACKS[attack](key, x)), blk
             )
             return hidden_decoder_apply(
-                m.trainable["decoder"], m.wcfg.decoder, blocks
+                m.trainable["decoder"], m.wcfg.decoder, blk
             )
 
-        return jax.vmap(one)(messages, keys)
+        return jax.vmap(one)(blocks, keys)
+
+    def decode_batch(messages, keys, attack):
+        return attack_decode_batch(render_batch(messages), keys, attack)
 
     t0 = time.time()
     next_report = 60.0

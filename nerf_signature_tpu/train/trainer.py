@@ -454,8 +454,12 @@ class Trainer:
         self.error_map = getattr(loader, "error_map", None)
         update_interval = getattr(self.opt, "update_extra_interval", 16)
         for data in loader:
-            if self.global_step % update_interval == 0:
+            if (self.global_step % update_interval == 0
+                    and self.global_step != getattr(self, "_last_extra", -1)):
+                # dedup on the step counter: skipped GT-free batches leave
+                # global_step unchanged and must not re-run the grid update
                 m.update_extra_state()
+                self._last_extra = self.global_step
             gt_free = "images" not in data
             loss, per_ray, n_occ = self.train_step_data(data)
             if loss is None:  # GT-free batch skipped (no --clip_text)

@@ -575,6 +575,12 @@ class WatermarkTrainer:
         while self.global_step < total:
             self._maybe_enter_polish(max_steps)
             k = min(steps_per_dispatch, total - self.global_step)
+            if (self.polish_iters and not self._polishing
+                    and self.global_step < max_steps):
+                # never straddle the main/polish boundary: the dispatch's
+                # lambda_w is fixed at launch, so straddling would run up to
+                # k-1 polish-schedule steps at the full weight
+                k = min(k, max_steps - self.global_step)
             (m.trainable, self.opt_state, losses, lossws, lossis
              ) = _wm_device_loop(
                 m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
@@ -608,6 +614,35 @@ class WatermarkTrainer:
                 prune_checkpoints(self.ckpt_path, self.name, self.max_keep_ckpt)
         if self.workspace:
             self.save_checkpoint(full=True)
+
+    def resolve_auto_compaction(self, loader):
+        """``--compact_frac -1`` in the wm stage: the backbone is frozen, so
+        occupancy never changes — resolve auto sample compaction ONCE from a
+        probe render instead of the clean trainer's adaptive loop (same
+        1.5x-headroom buckets as ``Trainer._adapt_compaction``)."""
+        if getattr(self.opt, "compact_frac", 0) != -1:
+            return
+        import dataclasses
+
+        from ..data.rays import get_rays
+
+        m = self.model
+        pose = np.asarray(loader.poses[:1], np.float32)
+        rays = get_rays(pose, loader.intrinsics, loader.H, loader.W,
+                        min(4096, loader.H * loader.W))
+        m.render(jnp.asarray(rays["rays_o"][0]),
+                 jnp.asarray(rays["rays_d"][0]), None,
+                 staged=False, budget=m.train_budget)
+        n_occ = np.asarray(m._last_n_occupied)
+        S = m.train_budget
+        fill = min(float(n_occ.mean()), S) / S
+        target = next(
+            b for b in (0.25, 0.5, 1.0) if b >= min(1.0, 1.5 * fill)
+        )
+        if target < 1.0:
+            m.rc = dataclasses.replace(m.rc, compact_frac=target)
+        self.log(f"[compact] wm auto sample compaction -> {target} "
+                 f"(probe mean occupied {float(n_occ.mean()):.1f}/{S})")
 
     def _maybe_enter_polish(self, main_iters):
         """Switch to the content-polish lambda once the main schedule ends."""
@@ -680,7 +715,8 @@ class WatermarkTrainer:
         )
         while done < n_trials:
             if time.time() - t0 >= next_report:
-                next_report += 60.0
+                # one >60s dispatch must not cause a burst of catch-up lines
+                next_report = time.time() - t0 + 60.0
                 self.log(
                     f"[test_bitacc] {done}/{n_trials} messages "
                     f"(acc so far {meter.measure():.4f}, "

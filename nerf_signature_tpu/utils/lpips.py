@@ -95,7 +95,15 @@ def load_lpips_params(path=None):
     bundled checkpoints + torchvision's pretrained AlexNet — absent in
     zero-egress images).  Returns the param pytree or None."""
     path = path or os.environ.get("LPIPS_WEIGHTS")
-    if path and os.path.exists(path):
+    if path:
+        if not os.path.exists(path):
+            # an EXPLICITLY requested weight file must not degrade silently
+            # (a typo'd --lpips_weights would otherwise train for hours
+            # without the perceptual loss); mirrors the CLIP path's policy
+            raise FileNotFoundError(
+                f"--lpips_weights / $LPIPS_WEIGHTS points at {path!r}, "
+                f"which does not exist"
+            )
         import torch
 
         sd = torch.load(path, map_location="cpu", weights_only=True)

@@ -152,7 +152,8 @@ class Viewer:
         ds = downscale or self.downscale
         H, W = int(self.cam.H // ds), int(self.cam.W // ds)
         intr = self.cam.intrinsics / ds
-        key = (pose.astype(np.float32).tobytes(), H, W, self.mode,
+        key = (pose.astype(np.float32).tobytes(),
+               np.asarray(intr, np.float32).tobytes(), H, W, self.mode,
                float(self.bg_color))
         if key != self._accum_key:
             self._accum, self.spp, self._accum_key = None, 0, key
@@ -182,10 +183,13 @@ class Viewer:
         img = self._accum
         dt_ms = (time.perf_counter() - t0) * 1e3
         # adapt resolution toward the frame budget (only while not refining —
-        # refinement frames should keep the resolution that converged)
+        # refinement frames should keep the resolution that converged).
+        # 20% hysteresis: a changed downscale changes the accumulator key and
+        # restarts accumulation, so frame-time noise must not thrash it.
         if self.spp <= 1:
             ratio = np.sqrt(dt_ms / self.render_budget_ms)
-            self.downscale = float(np.clip(ds * ratio, 1, 8))
+            if ratio > 1.2 or ratio < 0.8:
+                self.downscale = float(np.clip(ds * ratio, 1, 8))
         return img, dt_ms
 
     # -- offline turntable ----------------------------------------------------

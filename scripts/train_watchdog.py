@@ -110,22 +110,33 @@ def main():
         ap.error("no command given (use: train_watchdog.py [opts] -- cmd ...)")
     _install_term_handler()
 
+    last_kind, last_rc = None, None
     for attempt in range(args.max_restarts + 1):
         if attempt:
             print(f"[watchdog] restart {attempt}/{args.max_restarts} after "
                   f"{args.restart_delay:.0f}s cooldown", flush=True)
             time.sleep(args.restart_delay)
         kind, rc = run_once(cmd, args.stall_timeout, args.startup_grace)
+        last_kind, last_rc = kind, rc
         if kind == "exit":
             if rc == 0:
                 print("[watchdog] run completed", flush=True)
                 return 0
+            if rc == 2:
+                # argparse usage error: deterministic, a restart can't fix
+                # it — propagate instead of burning the budget holding the
+                # device for max_restarts cooldowns.  (Other nonzero codes
+                # DO restart: relay crashes exit fast with rc=1 too.)
+                print(f"[watchdog] usage error (rc={rc}); not restarting",
+                      flush=True)
+                return rc
             print(f"[watchdog] run exited rc={rc}; restarting", flush=True)
         else:
             print(f"[watchdog] no output for {args.stall_timeout:.0f}s — "
                   f"killing the wedged run", flush=True)
     print("[watchdog] restart budget exhausted", flush=True)
-    return 17
+    # the child's final exit code when it kept crashing; 17 only for stalls
+    return last_rc if last_kind == "exit" and last_rc else 17
 
 
 if __name__ == "__main__":

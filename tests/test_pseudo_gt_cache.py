@@ -47,3 +47,39 @@ def test_cache_roundtrip_and_staleness(tmp_path):
     ds2._pseudo_gt_cached()
     ds2._pseudo_gt_cached()
     assert len(ds2._calls) == 2
+
+
+def test_corrupt_cache_falls_back_to_render(tmp_path):
+    """A truncated/garbage cache file (e.g. a watchdog SIGKILL mid-save)
+    must re-render, not crash every subsequent start."""
+    cache = str(tmp_path / "pgt.npz")
+    with open(cache, "wb") as f:
+        f.write(b"PK\x03\x04 this is not a real zip")
+    ds = _ds(cache)
+    img = ds._pseudo_gt_cached()
+    assert len(ds._calls) == 1 and img.shape == (1, 8, 8, 3)
+    # and the fallback re-save repaired the cache: next call is a hit
+    img2 = ds._pseudo_gt_cached()
+    assert len(ds._calls) == 1
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_cache_write_is_atomic(tmp_path, monkeypatch):
+    """The savez tmp file is renamed into place — a crash mid-save leaves
+    the old cache intact, never a truncated one at the final path."""
+    import nerf_signature_tpu.data.provider_wtmk as pw
+
+    cache = str(tmp_path / "pgt.npz")
+    seen = {}
+    real = np.savez_compressed
+
+    def spy(path, **kw):
+        seen["path"] = path
+        real(path, **kw)
+
+    monkeypatch.setattr(pw.np, "savez_compressed", spy)
+    ds = _ds(cache)
+    ds._pseudo_gt_cached()
+    assert seen["path"] != cache and seen["path"].endswith(".npz")
+    import os
+    assert os.path.exists(cache) and not os.path.exists(seen["path"])

@@ -49,6 +49,27 @@ def test_nonzero_exit_restarts():
     assert "first-fail" in r.stdout and "second-ok" in r.stdout
 
 
+def test_usage_error_not_restarted():
+    """rc=2 (argparse usage error) is deterministic — propagate immediately
+    instead of burning the restart budget holding the device."""
+    r = run_wd("--stall-timeout", "30", "--max-restarts", "3",
+               "--restart-delay", "0",
+               child="import sys; print('boom'); sys.exit(2)")
+    assert r.returncode == 2
+    assert r.stdout.count("boom") == 1
+    assert "not restarting" in r.stdout
+
+
+def test_exhausted_budget_propagates_child_rc():
+    """When the child keeps crashing, the final exit code is the child's,
+    not the stall sentinel 17 (documented contract)."""
+    r = run_wd("--stall-timeout", "30", "--max-restarts", "1",
+               "--restart-delay", "0",
+               child="import sys; print('crashmark'); sys.exit(5)")
+    assert r.returncode == 5
+    assert r.stdout.count("crashmark") == 2  # original + one restart
+
+
 def test_sigterm_reaps_child():
     """An outer TERM (e.g. `timeout`) must not orphan the supervised child."""
     import signal
