@@ -27,6 +27,12 @@ def main():
     if opt.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
+    # multi-host: form the process group BEFORE the first device query
+    # (no-op unless NGP_COORDINATOR is set; parallel/multihost.py)
+    from nerf_signature_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize()
+
     from nerf_signature_tpu.api import WatermarkModel
     from nerf_signature_tpu.data.provider_wtmk import NeRFDatasetDisen
     from nerf_signature_tpu.models.ngp import NGPConfig

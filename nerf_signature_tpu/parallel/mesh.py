@@ -8,8 +8,11 @@ ever initialised).  The TPU-native design is single-program data parallelism:
   * ray batches sharded over the axis, params/optimizer state replicated,
   * ``jax.jit`` + GSPMD inserts the gradient all-reduce (``psum`` over ICI)
     automatically from the output sharding of the parameter update,
-  * multi-host: call ``jax.distributed.initialize()`` before building the mesh
-    (DCN for the host dimension) — the same program runs unchanged.
+  * multi-host: ``parallel/multihost.py`` forms the process group
+    (``NGP_COORDINATOR``-driven ``jax.distributed.initialize``; DCN for the
+    host dimension) before the mesh is built — the same program runs
+    unchanged, with ``multihost.put_global`` placing host data onto global
+    shardings (validated by ``tests/test_multihost.py``, 2 real processes).
 
 Sample-dimension note (the reference's "long context" analogue, SURVEY.md §5):
 sharding rays automatically shards the flattened sample dimension

@@ -22,7 +22,11 @@ from flax import serialization
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # fetch_replicated: under a multi-process launch the replicated state
+    # spans non-addressable devices, where plain np.asarray refuses
+    from ..parallel.multihost import fetch_replicated
+
+    return jax.tree_util.tree_map(lambda x: fetch_replicated(x), tree)
 
 
 def save_checkpoint(path, state: dict):

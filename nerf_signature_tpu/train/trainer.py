@@ -168,10 +168,15 @@ class Trainer:
         self.ema_params = jax.tree_util.tree_map(jnp.copy, model.params)
 
         # multi-device data parallelism: shard the ray axis, replicate params;
-        # GSPMD inserts the gradient all-reduce over ICI (see parallel/mesh.py)
+        # GSPMD inserts the gradient all-reduce over ICI (see parallel/mesh.py).
+        # Under a multi-process launch (parallel/multihost.py; DCN for the
+        # host dimension) --devices 0 means the whole GLOBAL mesh and every
+        # array placement goes through put_global.
+        from ..parallel import multihost
+
         n_dev = getattr(opt, "devices", 0)
         if n_dev == 0:
-            n_dev = 1
+            n_dev = len(jax.devices()) if multihost.is_multiprocess() else 1
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -183,11 +188,13 @@ class Trainer:
             self._shard = NamedSharding(self.mesh, P("rays"))
             self._repl = NamedSharding(self.mesh, P())
             put = lambda t: jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self._repl), t
+                lambda x: multihost.put_global(x, self._repl), t
             )
             self.model.params = put(self.model.params)
             self.ema_params = put(self.ema_params)
             self.opt_state = put(self.opt_state)
+            if getattr(self.model, "use_occ", False):
+                self.model.occ = put(self.model.occ)
         else:
             self.mesh = None
 
@@ -251,8 +258,10 @@ class Trainer:
                 self._lpips_params = None
             if self._lpips_params is not None:
                 if self.mesh is not None:
+                    from ..parallel.multihost import put_global
+
                     self._lpips_params = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, self._repl),
+                        lambda x: put_global(x, self._repl),
                         self._lpips_params,
                     )
                 self.log("[lpips] patch LPIPS loss active (1e-3, in-graph)")
@@ -280,6 +289,9 @@ class Trainer:
         if not self.mute:
             print(*args, flush=True)
         if self.log_path:
+            from ..parallel.multihost import is_primary
+            if not is_primary():
+                return  # multi-process: process 0 owns the workspace files
             with open(self.log_path, "a") as f:
                 print(*args, file=f)
 
@@ -433,10 +445,12 @@ class Trainer:
         images_dev = jnp.asarray(images)
         occupancy = m.occ.occupancy
         if self.mesh is not None:
-            rays_o = jax.device_put(rays_o, self._shard)
-            rays_d = jax.device_put(rays_d, self._shard)
-            images_dev = jax.device_put(images_dev, self._shard)
-            occupancy = jax.device_put(occupancy, self._repl)
+            from ..parallel.multihost import put_global
+
+            rays_o = put_global(rays_o, self._shard)
+            rays_d = put_global(rays_d, self._shard)
+            images_dev = put_global(images_dev, self._shard)
+            occupancy = put_global(occupancy, self._repl)
         (m.params, self.ema_params, self.opt_state, loss, per_ray, n_occ
          ) = _train_step(
             m.params, self.ema_params, self.opt_state, occupancy,
@@ -516,6 +530,16 @@ class Trainer:
         # the loader carries a map (--error_map)
         em = getattr(loader, "error_map", None)
         em = jnp.asarray(np.asarray(em, np.float32)) if em is not None else None
+        if self.mesh is not None:
+            # replicate the scan-loop inputs onto the (possibly
+            # multi-process) mesh; sampling/sharding happens in-program
+            from ..parallel.multihost import put_global
+
+            poses = put_global(poses, self._repl)
+            images = put_global(images, self._repl)
+            intr = put_global(intr, self._repl)
+            if em is not None:
+                em = put_global(em, self._repl)
 
         from ..utils.dispatch import max_scan_steps
 
@@ -716,6 +740,9 @@ class Trainer:
         return state
 
     def save_checkpoint(self, full=True, best=False):
+        from ..parallel.multihost import is_primary
+        if not is_primary():
+            return None  # multi-process: process 0 owns the workspace files
         if best:
             state = self._state(full=False)
             state.pop("occ")  # best ckpt drops the grid, ref utils.py:1067-1069

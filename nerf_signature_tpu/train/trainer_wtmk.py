@@ -386,7 +386,11 @@ class WatermarkTrainer:
         # GSPMD inserts the gradient psum over ICI.  Mirrors the clean
         # Trainer; the reference's DDP scaffolding is never launched
         # (SURVEY.md §2.8).
-        n_dev = getattr(opt, "devices", 0) or 1
+        from ..parallel import multihost
+
+        n_dev = getattr(opt, "devices", 0)
+        if n_dev == 0:
+            n_dev = len(jax.devices()) if multihost.is_multiprocess() else 1
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -398,7 +402,7 @@ class WatermarkTrainer:
             self._shard = NamedSharding(self.mesh, P("rays"))
             self._repl = NamedSharding(self.mesh, P())
             put = lambda t: jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self._repl), t
+                lambda x: multihost.put_global(x, self._repl), t
             )
             model.backbone = put(model.backbone)
             model.trainable = put(model.trainable)
@@ -443,6 +447,9 @@ class WatermarkTrainer:
         if not self.mute:
             print(*args, flush=True)
         if self.log_path:
+            from ..parallel.multihost import is_primary
+            if not is_primary():
+                return  # multi-process: process 0 owns the workspace files
             with open(self.log_path, "a") as f:
                 print(*args, file=f)
 
@@ -478,7 +485,8 @@ class WatermarkTrainer:
         ct_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)
         ct_gt = jnp.asarray(ct["images"]).reshape(-1, 3)
         if self.mesh is not None:
-            put = lambda x: jax.device_put(x, self._shard)
+            from ..parallel.multihost import put_global
+            put = lambda x: put_global(x, self._shard)
             ct_o, ct_d, ct_gt = put(ct_o), put(ct_d), put(ct_gt)
         (m.trainable, self.opt_state, loss, lossw, lossi, decoded
          ) = _wtmk_train_step(
@@ -563,6 +571,16 @@ class WatermarkTrainer:
             np.asarray(train_loader.train_images, np.float32).reshape(P, -1, 3)
         )
         intr = jnp.asarray(np.asarray(train_loader.intrinsics, np.float32))
+        if self.mesh is not None:
+            # replicate the scan-loop inputs onto the (possibly
+            # multi-process) mesh; content-ray sharding happens in-program
+            from ..parallel.multihost import put_global
+
+            ro_b = put_global(ro_b, self._repl)
+            rd_b = put_global(rd_b, self._repl)
+            poses = put_global(poses, self._repl)
+            images = put_global(images, self._repl)
+            intr = put_global(intr, self._repl)
         H, W = train_loader.H, train_loader.W
         # rays/step = content rays + key-block rays (consistent with BENCH_WM)
         rays_per_step = self.opt.num_rays + int(np.prod(ro_b.shape[:-1]))
@@ -747,7 +765,9 @@ class WatermarkTrainer:
                 meter.update(decoded[b].reshape(-1), messages[b])
             done += use
         acc = meter.measure()
-        self.log(f"[test_bitacc] {meter.report()} over {meter.N} messages")
+        sig = meter.significance() if hasattr(meter, "significance") else "n/a"
+        self.log(f"[test_bitacc] {meter.report()} over {meter.N} messages "
+                 f"(ownership evidence vs random guessing: {sig})")
         if record_path or (self.workspace and record_path is None):
             path = record_path or os.path.join(self.workspace, "bitacc.txt")
             with open(path, "a") as f:
@@ -810,6 +830,9 @@ class WatermarkTrainer:
         return state
 
     def save_checkpoint(self, full=True, best=False):
+        from ..parallel.multihost import is_primary
+        if not is_primary():
+            return None  # multi-process: process 0 owns the workspace files
         if best:
             state = self._state(full=False)
             state.pop("occ")
