@@ -140,6 +140,8 @@ class BitAccMeter(_Meter):
     def clear(self):
         super().clear()
         self.records = []
+        self.bits_total = 0
+        self.bits_correct = 0
 
     def update(self, decoded, bits):
         decoded = np.asarray(decoded, np.float32).reshape(-1)
@@ -149,3 +151,34 @@ class BitAccMeter(_Meter):
         self.records.append(acc)
         self.V += acc
         self.N += 1
+        self.bits_total = getattr(self, "bits_total", 0) + agree.size
+        self.bits_correct = getattr(self, "bits_correct", 0) + int(agree.sum())
+
+    def pvalue(self):
+        """Ownership significance, returned as **log10(p)**: exact binomial
+        tail P(X >= correct bits | random guessing p=0.5) over all evaluated
+        bits (log10 stays readable far below float underflow — 200 msgs x
+        32 bits at acc 1.0 is p = 2^-6400).  The paper's protocol claims
+        ownership when this is negligible; the reference reports only the
+        accuracy, leaving significance to the reader."""
+        n = getattr(self, "bits_total", 0)
+        k = getattr(self, "bits_correct", 0)
+        if n == 0:
+            return None
+        from math import exp, lgamma, log
+        log_half_n = n * log(0.5)
+        # sum_{j=k}^{n} C(n,j) * 0.5^n in log space (exact; n is ~1e4 max)
+        terms = [lgamma(n + 1) - lgamma(j + 1) - lgamma(n - j + 1)
+                 + log_half_n for j in range(k, n + 1)]
+        m = max(terms)
+        log_p = m + log(sum(exp(t - m) for t in terms))
+        return log_p / log(10.0)  # log10(p): readable far below fp underflow
+
+    def significance(self):
+        """Human-readable ownership-evidence string."""
+        l10 = self.pvalue()
+        if l10 is None:
+            return "n/a"
+        if l10 > -4:
+            return f"p={10 ** l10:.2g}"
+        return f"p=1e{l10:.0f}"
