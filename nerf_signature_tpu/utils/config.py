@@ -90,13 +90,13 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--train_budget", type=int, default=128,
                         help="static per-ray sample budget (auto-adapted)")
     parser.add_argument("--infer_budget", type=int, default=256)
-    parser.add_argument("--compact_frac", type=float, default=0.0,
+    parser.add_argument("--compact_frac", type=float, default=-1,
                         help="global sample compaction: run the field on "
                              "~frac*N*S packed occupied samples instead of "
-                             "the padded [N, S] budget grid (0 = off; -1 = "
-                             "auto-adapt from measured occupancy; on "
-                             "converged scenes most budget slots are "
-                             "padding)")
+                             "the padded [N, S] budget grid (0 = off; "
+                             "-1 = DEFAULT, auto-adapt from measured "
+                             "occupancy — measured 2.43x on the training "
+                             "step at converged-scene fill, PERF.md)")
     parser.add_argument("--grid_size", type=int, default=128)
     parser.add_argument("--devices", type=int, default=0,
                         help="shard rays over N devices (0 = all available)")

@@ -51,7 +51,11 @@ def chained(f):
 def main():
     cfg = NGPConfig(bound=1.0, compute_dtype=jnp.bfloat16,
                     stochastic_hash_grad=os.environ.get("STOCH") == "1")
-    rc = RenderConfig(bound=1.0, grid_size=128, max_steps=1024)
+    # COMPACT=<frac>: profile the globally-sample-compacted step (the bench
+    # default is 0.25; per-component rows then show where the post-compaction
+    # wall sits)
+    rc = RenderConfig(bound=1.0, grid_size=128, max_steps=1024,
+                      compact_frac=float(os.environ.get("COMPACT", "0")))
     n_rays, budget = 4096, 128
 
     params = init_ngp_params(jax.random.PRNGKey(0), cfg)
