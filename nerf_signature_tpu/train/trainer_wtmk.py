@@ -871,3 +871,41 @@ class WatermarkTrainer:
                 except Exception as e:
                     self.log(f"[ckpt] optimizer restore failed (soft): {e}")
         self.log(f"[ckpt] loaded {path}")
+        self._ensure_occupancy(path)
+
+    def _ensure_occupancy(self, path):
+        """The wm stage inherits its occupancy grid FROZEN from the loaded
+        checkpoint and never runs grid maintenance (ref behaviour).  A "best"
+        checkpoint intentionally drops the grid (ref ``utils.py:1067-1069``),
+        and loading one used to leave the grid EMPTY — every render is then
+        pure background and the message gradient is STRUCTURALLY ZERO, so
+        training silently converges to a collapsed decoder (bit-acc 0.5,
+        PSNR vs pseudo-GT ~inf; observed live on the 32-bit campaign).
+        Rebuild the grid from the frozen backbone's density field instead:
+        two full-query update passes are deterministic given the frozen
+        params and reproduce what the clean stage would have saved."""
+        m = self.model
+        if not m.use_occ:
+            return
+        if bool(jnp.any(m.occ.occupancy)):
+            return
+        self.log(f"[ckpt] {path} carries no occupancy grid (best-ckpt "
+                 "format drops it) — rebuilding from the frozen backbone "
+                 "density field")
+        from ..ops.grid import update_occupancy_grid
+
+        for _ in range(2):
+            m.occ = update_occupancy_grid(
+                m.occ, m._next_key(), m.density_fn,
+                bound=m.rc.bound, grid_size=m.rc.grid_size,
+                density_scale=m.rc.density_scale,
+                density_thresh=m.density_thresh, full=True,
+            )
+        frac = float(jnp.mean(m.occ.occupancy.astype(jnp.float32)))
+        self.log(f"[ckpt] rebuilt occupancy grid: {frac:.3f} occupied")
+        if frac == 0.0:
+            raise RuntimeError(
+                "occupancy rebuild produced an empty grid — the backbone in "
+                f"{path} renders nothing (wrong checkpoint, or density_thresh "
+                f"{m.density_thresh} too high for this scene)"
+            )
