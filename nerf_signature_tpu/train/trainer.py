@@ -780,3 +780,23 @@ class Trainer:
                 except Exception as e:
                     self.log(f"[ckpt] optimizer restore failed (soft): {e}")
         self.log(f"[ckpt] loaded {path}")
+        self._ensure_occupancy(path)
+
+    def _ensure_occupancy(self, path):
+        """Best-format checkpoints drop the density grid (ref
+        ``utils.py:1067-1069``); loading one for --test used to leave the
+        occupancy grid empty — every render pure background (same silent
+        failure the wm stage hit, see ``WatermarkTrainer._ensure_occupancy``).
+        Rebuild deterministically from the loaded density field."""
+        m = self.model
+        if not getattr(m, "use_occ", False):
+            return
+        if bool(jnp.any(m.occ.occupancy)):
+            return
+        self.log(f"[ckpt] {path} carries no occupancy grid (best-ckpt "
+                 "format drops it) — rebuilding from the density field")
+        for _ in range(2):
+            m.update_extra_state()
+        # force full-query passes regardless of iter_density bookkeeping
+        frac = float(jnp.mean(m.occ.occupancy.astype(jnp.float32)))
+        self.log(f"[ckpt] rebuilt occupancy grid: {frac:.3f} occupied")

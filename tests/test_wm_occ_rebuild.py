@@ -75,6 +75,29 @@ def test_gridless_ckpt_empty_rebuild_raises(tmp_path):
         tr.load_checkpoint(path2, model_only=True)
 
 
+def test_clean_trainer_gridless_ckpt_rebuilds(tmp_path):
+    """Same hazard on the clean side: --test with a best-format ckpt."""
+    from nerf_signature_tpu.api import NGPModel
+    from nerf_signature_tpu.train.trainer import Trainer
+
+    cfg = NGPConfig(bound=1.0, n_levels=2, log2_hashmap_size=10,
+                    finest_resolution=32, compute_dtype=jnp.float32)
+    model = NGPModel(cfg, grid_size=16, max_steps=32, train_budget=8,
+                     infer_budget=8, density_thresh=1e-4)
+    opt = types.SimpleNamespace(seed=0, iters=2, lr=1e-2, num_rays=8,
+                                devices=1)
+    tr = Trainer("occ_rebuild_clean", opt, model, workspace=None,
+                 use_checkpoint="scratch", mute=True)
+    params = jax.tree_util.tree_map(np.asarray, model.params)
+    params["sigma_net"][0] = np.abs(params["sigma_net"][0]) + 0.5
+    params["hash_table"] = np.abs(params["hash_table"]) + 0.1
+    path = str(tmp_path / "clean_best2.ckpt")
+    save_checkpoint(path, {"params": params})
+    assert not bool(jnp.any(tr.model.occ.occupancy))
+    tr.load_checkpoint(path, model_only=True)
+    assert bool(jnp.any(tr.model.occ.occupancy))
+
+
 def test_ckpt_with_grid_untouched(tmp_path):
     tr, path = _tiny(tmp_path, density_thresh=1e-4)
     occ = tr.model.occ._replace(
