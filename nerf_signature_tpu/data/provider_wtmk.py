@@ -56,6 +56,16 @@ def select_key_blocks(image, num_rows, num_cols, num_selections,
     ``NeRFDataset_Disen_random_view:3509``)."""
     H, W = image.shape[:2]
     bh, bw = H // num_rows, W // num_cols
+    if selection != "random" and float(np.std(image)) < 1e-3:
+        # a (near-)constant key image makes every block's JPEG ratio tie —
+        # "most textured" degenerates to the first k grid cells and the
+        # watermark trains on featureless crops.  This is always a broken
+        # upstream render (wrong checkpoint / empty grid), never a real scene.
+        raise ValueError(
+            "key image is (near-)constant — the key-pose render produced no "
+            "content, so JPEG-ratio block selection is meaningless.  Check "
+            "the loaded checkpoint (occupancy grid / density_thresh)."
+        )
     if selection == "random":
         rng = rng or np.random.default_rng()
         sel = rng.choice(num_rows * num_cols, num_selections, replace=False)

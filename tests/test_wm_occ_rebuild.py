@@ -98,6 +98,22 @@ def test_clean_trainer_gridless_ckpt_rebuilds(tmp_path):
     assert bool(jnp.any(tr.model.occ.occupancy))
 
 
+def test_blank_key_image_raises():
+    """Defense in depth at the provider: a constant key image means the
+    key-pose render produced nothing — JPEG-ratio block selection would
+    silently degenerate to the first k grid cells."""
+    from nerf_signature_tpu.data.provider_wtmk import select_key_blocks
+
+    with pytest.raises(ValueError, match="key image"):
+        select_key_blocks(np.ones((64, 64, 3), np.float32), 4, 4, 4)
+    # textured images and the random-selection ablation are unaffected
+    rng = np.random.default_rng(0)
+    select_key_blocks(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32),
+                      4, 4, 4)
+    select_key_blocks(np.ones((64, 64, 3), np.float32), 4, 4, 4,
+                      selection="random")
+
+
 def test_ckpt_with_grid_untouched(tmp_path):
     tr, path = _tiny(tmp_path, density_thresh=1e-4)
     occ = tr.model.occ._replace(
