@@ -71,6 +71,46 @@ def ssim(img1, img2, data_range=1.0, size=11, sigma=1.5):
     return float(m.mean())
 
 
+def ssim_jnp(img1, img2, data_range=1.0, size=11, sigma=1.5):
+    """Differentiable in-graph SSIM over [B, H, W, C] jnp arrays.
+
+    Same gaussian-window formula as :func:`ssim` (torchmetrics defaults),
+    expressed as two static 'valid' convolution matrices so the blur is two
+    small matmuls — jit/grad-friendly at the patch sizes the watermark
+    trainer's ``--lambda_ssim`` content guard uses.  The window shrinks to
+    the largest odd size that fits when the patch is smaller than 11."""
+    import jax.numpy as jnp
+
+    H, W = int(img1.shape[-3]), int(img1.shape[-2])
+    size = min(size, H - (1 - H % 2), W - (1 - W % 2))
+    k = _gaussian_kernel(size, sigma)
+    KH = np.zeros((H - size + 1, H), np.float32)
+    for r in range(H - size + 1):
+        KH[r, r:r + size] = k
+    KW = np.zeros((W - size + 1, W), np.float32)
+    for r in range(W - size + 1):
+        KW[r, r:r + size] = k
+    KH, KW = jnp.asarray(KH), jnp.asarray(KW)
+
+    def blur(x):
+        x = jnp.einsum("oh,...hwc->...owc", KH, x)
+        return jnp.einsum("ow,...hwc->...hoc", KW, x)
+
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu12 = mu1**2, mu2**2, mu1 * mu2
+    s1 = blur(img1**2) - mu1_sq
+    s2 = blur(img2**2) - mu2_sq
+    s12 = blur(img1 * img2) - mu12
+    m = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+    )
+    return m.mean()
+
+
 class SSIMMeter(_Meter):
     name = "SSIM"
 

@@ -88,14 +88,17 @@ def make_optimizer(lr, iters):
 )
 def _train_step(params, ema_params, opt_state, occupancy, rays_o, rays_d,
                 images, key, cfg, rc, budget, opt_update, has_alpha,
-                ema_decay, lpips_params=None, patch_size=1):
+                ema_decay, lpips_params=None, patch_size=1,
+                lambda_ssim=None):
     """One fused optimisation step.  images: [N, 3/4].
 
     With ``patch_size > 1`` and LPIPS weights resolved, adds the reference's
     perceptual patch loss ``1e-3 * lpips(pred, gt)`` (``nerf/utils.py:
     374-377,528``) — fully in-graph via the native JAX LPIPS
     (``utils/lpips.py``), so it differentiates into the field like any
-    other term."""
+    other term.  ``lambda_ssim`` adds the weight-free structural patch
+    guard instead/as well (same term as the wm stage, see
+    ``trainer_wtmk._wm_step_loss``) — useful where no LPIPS weights ship."""
     kbg, kperturb = jax.random.split(key)
     if has_alpha and not cfg.bg_radius > 0:
         bg = jax.random.uniform(kbg, (images.shape[0], 3))
@@ -121,15 +124,21 @@ def _train_step(params, ema_params, opt_state, occupancy, rays_o, rays_d,
         )
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
         loss = jnp.mean(per_ray)
-        if lpips_params is not None and patch_size > 1:
-            from ..utils.lpips import lpips_distance
-
+        if patch_size > 1 and (lpips_params is not None
+                               or lambda_ssim is not None):
             B = rays_o.shape[0] // (patch_size * patch_size)
             pred_p = out["image"].reshape(B, patch_size, patch_size, 3)
             gt_p = gt.reshape(B, patch_size, patch_size, 3)
-            loss = loss + 1e-3 * jnp.mean(
-                lpips_distance(lpips_params, pred_p, gt_p)
-            )
+            if lpips_params is not None:
+                from ..utils.lpips import lpips_distance
+
+                loss = loss + 1e-3 * jnp.mean(
+                    lpips_distance(lpips_params, pred_p, gt_p)
+                )
+            if lambda_ssim is not None:
+                from .metrics import ssim_jnp
+
+                loss = loss + lambda_ssim * (1.0 - ssim_jnp(pred_p, gt_p))
         return loss, (per_ray, out["n_occupied"])
 
     (loss, (per_ray, n_occ)), grads = jax.value_and_grad(
@@ -265,6 +274,17 @@ class Trainer:
                         self._lpips_params,
                     )
                 self.log("[lpips] patch LPIPS loss active (1e-3, in-graph)")
+        # weight-free structural patch guard (shared with the wm stage,
+        # see trainer_wtmk._wm_step_loss / PERF.md)
+        self.lambda_ssim = float(getattr(opt, "lambda_ssim", 0.0) or 0.0)
+        if self.lambda_ssim > 0:
+            if self.patch_size <= 1:
+                raise ValueError(
+                    "--lambda_ssim needs --patch_size > 1 "
+                    "(patch-structured ray batches)"
+                )
+            self.log(f"[ssim] patch SSIM guard active "
+                     f"(lambda={self.lambda_ssim}, in-graph)")
 
         # GT-free CLIP guidance (ref nerf/utils.py:474-489; the reference's
         # own CLIP prep is commented out — this is the working completion).
@@ -457,7 +477,10 @@ class Trainer:
             rays_o, rays_d, images_dev, m._next_key(),
             m.cfg, m.rc, m.train_budget, self.optimizer.update, has_alpha,
             self.ema_decay, self._lpips_params,
-            self.patch_size if self._lpips_params is not None else 1,
+            self.patch_size if (self._lpips_params is not None
+                                or self.lambda_ssim > 0) else 1,
+            lambda_ssim=(jnp.float32(self.lambda_ssim)
+                         if self.lambda_ssim > 0 else None),
         )
         return loss, per_ray, n_occ
 

@@ -127,7 +127,8 @@ def _distort_and_normalize(key, blocks, kind):
 
 def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
                   ct_gt, message, key, lambda_w, lambda_i, wcfg, rc, budget,
-                  block_budget, distortion, loss_w_fn):
+                  block_budget, distortion, loss_w_fn, patch_size=1,
+                  lambda_ssim=None):
     """The ONE watermark training objective (ref ``utils_wtmk_disen.py:
     579-646``), shared by the per-step path (``_wtmk_train_step``) and the
     scan loop (``_wm_device_loop``) so the two can never drift.
@@ -138,7 +139,18 @@ def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
     Content rays render at the PSEUDO-GT budget for the same reason (the
     pseudo-GT pool is produced at infer_budget), which also makes the two
     budgets equal in the default recipe — and then both ray sets render in
-    ONE fused march+field+composite program instead of two."""
+    ONE fused march+field+composite program instead of two.
+
+    ``patch_size > 1`` + ``lambda_ssim``: the content rays are
+    patch-structured (``--patch_size``, same convention as the clean
+    trainer's LPIPS patch loss) and a structural term
+    ``lambda_ssim * (1 - SSIM(pred_patches, gt_patches))`` is added.  The
+    per-ray MSE is blind to the spatial STRUCTURE of the message
+    perturbation — the codebook features at a single resolution manifest as
+    high-frequency density speckle that MSE suppresses only slowly — while
+    SSIM's local-variance terms penalise exactly that.  Weight-free (unlike
+    LPIPS) so it works where no perceptual weights ship.  No reference
+    equivalent; measured motivation in PERF.md (round-2 wm rerun)."""
     field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
     if budget == block_budget:
         n_b = int(np.prod(rays_o_b.shape[:-1]))
@@ -174,19 +186,29 @@ def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
     lossw = loss_w_fn(decoded.reshape(-1),
                       message.astype(jnp.float32).reshape(-1))
     lossi = jnp.mean((content_img - ct_gt) ** 2)
-    return lambda_w * lossw + lambda_i * lossi, (lossw, lossi, decoded)
+    loss = lambda_w * lossw + lambda_i * lossi
+    if patch_size > 1 and lambda_ssim is not None:
+        from .metrics import ssim_jnp
+
+        pp = patch_size
+        npatch = content_img.shape[0] // (pp * pp)
+        pred = content_img[: npatch * pp * pp].reshape(npatch, pp, pp, 3)
+        gtp = ct_gt[: npatch * pp * pp].reshape(npatch, pp, pp, 3)
+        loss = loss + lambda_ssim * (1.0 - ssim_jnp(pred, gtp))
+    return loss, (lossw, lossi, decoded)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("wcfg", "rc", "budget", "block_budget", "opt_update",
-                     "distortion", "loss_kind"),
+                     "distortion", "loss_kind", "patch_size"),
     donate_argnums=(1, 2),
 )
 def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
                      rays_d_b, content_rays_o, content_rays_d, content_gt,
                      message, key, lambda_w, lambda_i, wcfg, rc, budget,
-                     block_budget, opt_update, distortion, loss_kind):
+                     block_budget, opt_update, distortion, loss_kind,
+                     patch_size=1, lambda_ssim=None):
     loss_w_fn = make_loss_w(loss_kind)
 
     def loss_fn(tr):
@@ -194,6 +216,7 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
             backbone, tr, occupancy, rays_o_b, rays_d_b, content_rays_o,
             content_rays_d, content_gt, message, key, lambda_w, lambda_i,
             wcfg, rc, budget, block_budget, distortion, loss_w_fn,
+            patch_size=patch_size, lambda_ssim=lambda_ssim,
         )
 
     (loss, (lossw, lossi, decoded)), grads = jax.value_and_grad(
@@ -208,14 +231,14 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
     jax.jit,
     static_argnames=("wcfg", "rc", "budget", "block_budget", "opt_update",
                      "distortion", "loss_kind", "n_steps", "num_rays",
-                     "H", "W", "mesh"),
+                     "H", "W", "mesh", "patch_size"),
     donate_argnums=(1, 2),
 )
 def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
                     rays_d_b, poses, images, intrinsics, key, lambda_w,
                     lambda_i, wcfg, rc, budget, block_budget, opt_update,
                     distortion, loss_kind, n_steps, num_rays, H, W,
-                    mesh=None):
+                    mesh=None, patch_size=1, lambda_ssim=None):
     """K watermark steps per dispatch, the wm-stage analogue of
     ``train/device_loop.device_train_loop``: fresh random message, content
     pose/pixel sampling, block render + distort + decode, content MSE, and
@@ -245,7 +268,25 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
         km, kp, ki, kd = jax.random.split(k, 4)
         message = jax.random.randint(km, (wcfg.message_dim,), 0, 2)
         pidx = jax.random.randint(kp, (), 0, P)
-        pix = jax.random.randint(ki, (num_rays,), 0, H * W)
+        if patch_size > 1:
+            # patch-structured content sampling (mirrors data/rays.get_rays
+            # patch mode): contiguous patch_size**2 pixel grids so the
+            # SSIM/LPIPS patch terms see real local structure
+            pp = patch_size
+            npatch = num_rays // (pp * pp)
+            kx, ky, kt = jax.random.split(ki, 3)
+            tx = jax.random.randint(kx, (npatch,), 0, H - pp)
+            ty = jax.random.randint(ky, (npatch,), 0, W - pp)
+            pi, pj = np.meshgrid(np.arange(pp), np.arange(pp), indexing="ij")
+            off = jnp.asarray(pi.ravel() * W + pj.ravel())
+            pix = ((tx * W + ty)[:, None] + off[None]).reshape(-1)
+            if npatch * pp * pp < num_rays:  # tail stays uniform
+                rest = jax.random.randint(
+                    kt, (num_rays - npatch * pp * pp,), 0, H * W
+                )
+                pix = jnp.concatenate([pix, rest])
+        else:
+            pix = jax.random.randint(ki, (num_rays,), 0, H * W)
         ct_o, ct_d = rays_from_pixels(poses[pidx], intr, pix, H, W)
         ct_o, ct_d = shard(ct_o), shard(ct_d)
         gt = shard(images[pidx, pix])
@@ -255,6 +296,7 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
                 backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d, gt,
                 message, kd, lambda_w, lambda_i, wcfg, rc, budget,
                 block_budget, distortion, loss_w_fn,
+                patch_size=patch_size, lambda_ssim=lambda_ssim,
             )
             return loss, (lossw, lossi)
 
@@ -359,6 +401,15 @@ class WatermarkTrainer:
         self.content_budget = (
             getattr(opt, "wm_content_budget", 0) or model.infer_budget
         )
+        # --patch_size + --lambda_ssim: structural content guard on
+        # patch-shaped content rays (see _wm_step_loss docstring)
+        self.patch_size = int(getattr(opt, "patch_size", 1) or 1)
+        self.lambda_ssim = float(getattr(opt, "lambda_ssim", 0.0) or 0.0)
+        if self.lambda_ssim > 0 and self.patch_size <= 1:
+            raise ValueError(
+                "--lambda_ssim needs patch-structured content rays: "
+                "set --patch_size > 1 (num_rays divisible by patch_size**2)"
+            )
 
         self.optimizer = make_optimizer(opt.lr, opt.iters)
         if model.wcfg.finetune_decoder:
@@ -497,6 +548,9 @@ class WatermarkTrainer:
             jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
             m.wcfg, m.rc, self.content_budget, m.infer_budget,
             self.optimizer.update, self.distortion, self.loss_kind,
+            patch_size=self.patch_size,
+            lambda_ssim=(jnp.float32(self.lambda_ssim)
+                         if self.lambda_ssim > 0 else None),
         )
         return loss, lossw, lossi, decoded
 
@@ -607,6 +661,9 @@ class WatermarkTrainer:
                 m.wcfg, m.rc, self.content_budget, m.infer_budget,
                 self.optimizer.update, self.distortion, self.loss_kind,
                 k, self.opt.num_rays, H, W, mesh=self.mesh,
+                patch_size=self.patch_size,
+                lambda_ssim=(jnp.float32(self.lambda_ssim)
+                             if self.lambda_ssim > 0 else None),
             )
             losses = np.asarray(losses)
             self.global_step += k

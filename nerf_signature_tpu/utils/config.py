@@ -162,6 +162,14 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
                              "recovers PSNR while locked bit margins "
                              "survive (cf. the finetune-attack result)")
     parser.add_argument("--wm_polish_lambda_w", type=float, default=0.0)
+    parser.add_argument("--lambda_ssim", type=float, default=0.0,
+                        help="wm-stage structural content guard: adds "
+                             "lambda_ssim * (1 - SSIM) over patch-structured "
+                             "content rays (requires --patch_size > 1).  "
+                             "Targets the high-frequency density speckle the "
+                             "message perturbation produces, which per-ray "
+                             "MSE suppresses only slowly; weight-free unlike "
+                             "LPIPS.  No reference equivalent (PERF.md)")
     parser.add_argument("--wm_content_budget", type=int, default=0,
                         help="march budget for wm-stage CONTENT rays; 0 = "
                              "match the pseudo-GT render budget "
