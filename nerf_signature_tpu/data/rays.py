@@ -77,6 +77,11 @@ def get_rays(poses, intrinsics, H, W, N=-1, rng=None, error_map=None,
 
         if patch_size > 1:
             num_patch = N // (patch_size**2)
+            if num_patch * patch_size**2 != N:
+                raise ValueError(
+                    f"patch mode needs N divisible by patch_size**2 "
+                    f"(N={N}, patch_size={patch_size})"
+                )
             ix = rng.integers(0, H - patch_size, num_patch)
             iy = rng.integers(0, W - patch_size, num_patch)
             pi, pj = np.meshgrid(

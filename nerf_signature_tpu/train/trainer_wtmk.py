@@ -35,6 +35,7 @@ import optax
 
 from ..api import WatermarkModel
 from ..models.hidden import hidden_decoder_apply, normalize_img
+from ..models.message import msg_effective_table
 from ..models.ngp import ngp_background
 from ..models.watermark import wtmk_field
 from ..render.renderer import render_rays_occ
@@ -128,7 +129,7 @@ def _distort_and_normalize(key, blocks, kind):
 def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
                   ct_gt, message, key, lambda_w, lambda_i, wcfg, rc, budget,
                   block_budget, distortion, loss_w_fn, patch_size=1,
-                  lambda_ssim=None):
+                  lambda_ssim=None, lambda_msg_reg=None):
     """The ONE watermark training objective (ref ``utils_wtmk_disen.py:
     579-646``), shared by the per-step path (``_wtmk_train_step``) and the
     scan loop (``_wm_device_loop``) so the two can never drift.
@@ -150,7 +151,18 @@ def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
     high-frequency density speckle that MSE suppresses only slowly — while
     SSIM's local-variance terms penalise exactly that.  Weight-free (unlike
     LPIPS) so it works where no perceptual weights ship.  No reference
-    equivalent; measured motivation in PERF.md (round-2 wm rerun)."""
+    equivalent; measured motivation in PERF.md (round-2 wm rerun).
+
+    ``lambda_msg_reg``: amplitude regulariser on the message perturbation at
+    its SOURCE — ``lambda_msg_reg * mean(effective_table(message) ** 2)``.
+    The effective table (sum of the per-bit tables the message selects) IS
+    the feature-space perturbation injected into the frozen backbone, so
+    bounding its amplitude bounds the density speckle for every backbone
+    draw instead of repairing it after the fact (cf. the PERF.md
+    reproducibility note: the quality equilibrium varies with the frozen
+    sigma-MLP's sensitivity to the injected features).  Cross-bit
+    cancellation inside the sum is deliberately rewarded.  No reference
+    equivalent (the reference re-tunes lambda/iters per scene)."""
     field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
     if budget == block_budget:
         n_b = int(np.prod(rays_o_b.shape[:-1]))
@@ -195,6 +207,9 @@ def _wm_step_loss(backbone, tr, occupancy, rays_o_b, rays_d_b, ct_o, ct_d,
         pred = content_img[: npatch * pp * pp].reshape(npatch, pp, pp, 3)
         gtp = ct_gt[: npatch * pp * pp].reshape(npatch, pp, pp, 3)
         loss = loss + lambda_ssim * (1.0 - ssim_jnp(pred, gtp))
+    if lambda_msg_reg is not None and "msg_tables" in tr:
+        eff = msg_effective_table(tr["msg_tables"], message)
+        loss = loss + lambda_msg_reg * jnp.mean(jnp.square(eff))
     return loss, (lossw, lossi, decoded)
 
 
@@ -208,7 +223,7 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
                      rays_d_b, content_rays_o, content_rays_d, content_gt,
                      message, key, lambda_w, lambda_i, wcfg, rc, budget,
                      block_budget, opt_update, distortion, loss_kind,
-                     patch_size=1, lambda_ssim=None):
+                     patch_size=1, lambda_ssim=None, lambda_msg_reg=None):
     loss_w_fn = make_loss_w(loss_kind)
 
     def loss_fn(tr):
@@ -217,6 +232,7 @@ def _wtmk_train_step(backbone, trainable, opt_state, occupancy, rays_o_b,
             content_rays_d, content_gt, message, key, lambda_w, lambda_i,
             wcfg, rc, budget, block_budget, distortion, loss_w_fn,
             patch_size=patch_size, lambda_ssim=lambda_ssim,
+            lambda_msg_reg=lambda_msg_reg,
         )
 
     (loss, (lossw, lossi, decoded)), grads = jax.value_and_grad(
@@ -238,7 +254,8 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
                     rays_d_b, poses, images, intrinsics, key, lambda_w,
                     lambda_i, wcfg, rc, budget, block_budget, opt_update,
                     distortion, loss_kind, n_steps, num_rays, H, W,
-                    mesh=None, patch_size=1, lambda_ssim=None):
+                    mesh=None, patch_size=1, lambda_ssim=None,
+                    lambda_msg_reg=None):
     """K watermark steps per dispatch, the wm-stage analogue of
     ``train/device_loop.device_train_loop``: fresh random message, content
     pose/pixel sampling, block render + distort + decode, content MSE, and
@@ -297,6 +314,7 @@ def _wm_device_loop(backbone, trainable, opt_state, occupancy, rays_o_b,
                 message, kd, lambda_w, lambda_i, wcfg, rc, budget,
                 block_budget, distortion, loss_w_fn,
                 patch_size=patch_size, lambda_ssim=lambda_ssim,
+                lambda_msg_reg=lambda_msg_reg,
             )
             return loss, (lossw, lossi)
 
@@ -409,6 +427,16 @@ class WatermarkTrainer:
             raise ValueError(
                 "--lambda_ssim needs patch-structured content rays: "
                 "set --patch_size > 1 (num_rays divisible by patch_size**2)"
+            )
+        # --lambda_msg_reg: amplitude regulariser on the message-table
+        # perturbation source (see _wm_step_loss docstring)
+        self.lambda_msg_reg = float(
+            getattr(opt, "lambda_msg_reg", 0.0) or 0.0
+        )
+        if self.lambda_msg_reg > 0 and "msg_tables" not in model.trainable:
+            raise ValueError(
+                "--lambda_msg_reg regularises the codebook msg tables; this "
+                "model variant has no msg_tables in its trainable subtree"
             )
 
         self.optimizer = make_optimizer(opt.lr, opt.iters)
@@ -551,6 +579,8 @@ class WatermarkTrainer:
             patch_size=self.patch_size,
             lambda_ssim=(jnp.float32(self.lambda_ssim)
                          if self.lambda_ssim > 0 else None),
+            lambda_msg_reg=(jnp.float32(self.lambda_msg_reg)
+                            if self.lambda_msg_reg > 0 else None),
         )
         return loss, lossw, lossi, decoded
 
@@ -664,6 +694,8 @@ class WatermarkTrainer:
                 patch_size=self.patch_size,
                 lambda_ssim=(jnp.float32(self.lambda_ssim)
                              if self.lambda_ssim > 0 else None),
+                lambda_msg_reg=(jnp.float32(self.lambda_msg_reg)
+                                if self.lambda_msg_reg > 0 else None),
             )
             losses = np.asarray(losses)
             self.global_step += k

@@ -170,6 +170,16 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
                              "message perturbation produces, which per-ray "
                              "MSE suppresses only slowly; weight-free unlike "
                              "LPIPS.  No reference equivalent (PERF.md)")
+    parser.add_argument("--lambda_msg_reg", type=float, default=0.0,
+                        help="amplitude regulariser on the message "
+                             "perturbation source: adds lambda_msg_reg * "
+                             "mean(effective_table(message)**2) to the wm "
+                             "objective.  Bounds the feature-space "
+                             "perturbation injected into the frozen backbone "
+                             "(root cause of the backbone-draw-dependent "
+                             "density speckle, PERF.md) instead of repairing "
+                             "its image-space damage; typical useful range "
+                             "0.1-10.  No reference equivalent")
     parser.add_argument("--wm_content_budget", type=int, default=0,
                         help="march budget for wm-stage CONTENT rays; 0 = "
                              "match the pseudo-GT render budget "
