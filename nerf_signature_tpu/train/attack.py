@@ -39,6 +39,34 @@ from .metrics import BitAccMeter
 from .trainer_wtmk import _per_view, _render_blocks, wm_rays
 
 
+@functools.partial(jax.jit, static_argnames=("wcfg", "rc", "budget"))
+def _attack_render_batch(backbone, trainable, occupancy, rays_o_b, rays_d_b,
+                         messages, wcfg, rc, budget):
+    """Block renders for B messages (same program shape as test_bitacc's)."""
+    def one(message):
+        return _render_blocks(
+            backbone, trainable, occupancy, rays_o_b, rays_d_b, message,
+            wcfg, rc, budget,
+        )
+
+    return jax.vmap(one)(messages)
+
+
+@functools.partial(jax.jit, static_argnames=("wcfg", "attack"))
+def _attack_decode_batch(decoder, blocks, keys, wcfg, attack):
+    """Attack + normalise + decode, vmapped over messages.
+
+    Multi-view aware: blocks come back [B, D, bh, bw, 3] or [..., V*3];
+    attacks + normalisation run per view, batch stats per message."""
+    def one(blk, key):
+        blk = _per_view(
+            lambda x: normalize_img(ATTACKS[attack](key, x)), blk
+        )
+        return hidden_decoder_apply(decoder, wcfg.decoder, blk)
+
+    return jax.vmap(one)(blocks, keys)
+
+
 def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     """Bit-accuracy under each named image attack.
 
@@ -62,38 +90,25 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     rays_o_b = jnp.asarray(ro_b)
     rays_d_b = jnp.asarray(rd_b)
 
-    # TWO jit programs, not one fused render+attack+decode: the fused
-    # program's serialized HLO exceeded the relay's request-size limit
-    # (HTTP 413 on remote_compile, then a wedged worker — observed live on
-    # the 32-bit multiobj campaign).  The render program below is the same
-    # shape as test_bitacc's, which is known to fit; the attack+decode
-    # program is tiny.  Blocks stay on device between the two dispatches.
-    @jax.jit
-    def render_batch(messages):
-        def one(message):
-            return _render_blocks(
-                m.backbone, m.trainable, m.occ.occupancy, rays_o_b, rays_d_b,
-                message, m.wcfg, m.rc, m.infer_budget,
-            )
-
-        return jax.vmap(one)(messages)
-
-    @functools.partial(jax.jit, static_argnames=("attack",))
-    def attack_decode_batch(blocks, keys, attack):
-        # multi-view aware: blocks come back [D, bh, bw, 3] or [D, bh, bw,
-        # V*3]; attacks + normalisation run per view, batch stats per message
-        def one(blk, key):
-            blk = _per_view(
-                lambda x: normalize_img(ATTACKS[attack](key, x)), blk
-            )
-            return hidden_decoder_apply(
-                m.trainable["decoder"], m.wcfg.decoder, blk
-            )
-
-        return jax.vmap(one)(blocks, keys)
-
+    # TWO jit programs, not one fused render+attack+decode, and BOTH take
+    # the model state as ARGUMENTS, never as closure constants: a closed-
+    # over pytree (hash tables alone are tens of MB) is embedded into the
+    # serialized HLO as literals, which exceeded the relay's request-size
+    # limit (HTTP 413 on remote_compile, then a wedged worker — observed
+    # live on the 32-bit multiobj campaign, twice: first on the fused
+    # program, then again on a split whose render still closed over the
+    # params).  As arguments the weights ship once via the normal transfer
+    # path and the HLO stays small — the same structure that makes
+    # _wtmk_decode_blocks_batched fit.  Blocks stay on device between the
+    # two dispatches.
     def decode_batch(messages, keys, attack):
-        return attack_decode_batch(render_batch(messages), keys, attack)
+        blocks = _attack_render_batch(
+            m.backbone, m.trainable, m.occ.occupancy, rays_o_b, rays_d_b,
+            messages, m.wcfg, m.rc, m.infer_budget,
+        )
+        return _attack_decode_batch(
+            m.trainable["decoder"], blocks, keys, m.wcfg, attack
+        )
 
     t0 = time.time()
     next_report = 60.0
@@ -127,6 +142,34 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     return results
 
 
+@functools.partial(
+    jax.jit, static_argnames=("wcfg", "rc", "budget", "opt_update")
+)
+def _param_attack_step(trainable, opt_state, message, backbone, occupancy,
+                       orig, rays_o, rays_d, target, epsilon, wcfg, rc,
+                       budget, opt_update):
+    # model state enters as ARGUMENTS, not closure constants (see the
+    # attack_sweep comment: closed-over weight pytrees embed as HLO
+    # literals and blow the relay's request-size limit — HTTP 413)
+    def loss_fn(tr):
+        field = lambda x, d: wtmk_field(backbone, tr, wcfg, x, d, message)
+        out = render_rays_occ(
+            field, occupancy, rays_o, rays_d, rc, budget=budget, bg_color=1.0,
+        )
+        # adversary wants message renders to look message-free
+        return jnp.mean((out["image"] - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(trainable)
+    updates, opt_state = opt_update(grads, opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    # epsilon-ball projection around the original weights
+    # (ref utils_adv_attack_disen-checkpoint.py:1126-1131)
+    trainable = jax.tree_util.tree_map(
+        lambda p, o: jnp.clip(p, o - epsilon, o + epsilon), trainable, orig
+    )
+    return trainable, opt_state, loss
+
+
 def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
                      num_rays=4096):
     """Epsilon-ball finetuning attack on the watermarked model.
@@ -155,28 +198,6 @@ def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
         budget=m.infer_budget, bg_color=1.0,
     )["image"]
 
-    @jax.jit
-    def step(trainable, opt_state, message):
-        def loss_fn(tr):
-            field = lambda x, d: wtmk_field(m.backbone, tr, m.wcfg, x, d,
-                                            message)
-            out = render_rays_occ(
-                field, m.occ.occupancy, rays_o, rays_d, m.rc,
-                budget=m.train_budget, bg_color=1.0,
-            )
-            # adversary wants message renders to look message-free
-            return jnp.mean((out["image"] - target) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(trainable)
-        updates, opt_state = opt.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
-        # epsilon-ball projection around the original weights
-        # (ref utils_adv_attack_disen-checkpoint.py:1126-1131)
-        trainable = jax.tree_util.tree_map(
-            lambda p, o: jnp.clip(p, o - epsilon, o + epsilon), trainable, orig
-        )
-        return trainable, opt_state, loss
-
     attacked = m.trainable
     loss = float("nan")
     rng = np.random.default_rng(0)
@@ -184,10 +205,41 @@ def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
         msg = jnp.asarray(
             rng.integers(0, 2, m.wcfg.message_dim).astype(np.int32)
         )
-        attacked, opt_state, loss = step(attacked, opt_state, msg)
+        attacked, opt_state, loss = _param_attack_step(
+            attacked, opt_state, msg, m.backbone, m.occ.occupancy, orig,
+            rays_o, rays_d, target, jnp.float32(epsilon), m.wcfg, m.rc,
+            m.train_budget, opt.update,
+        )
     trainer.log(f"[parameter_attack] eps={epsilon} steps={steps} "
                 f"final adv loss={float(loss):.6f}")
     return attacked
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wcfg", "rc", "budget", "opt_update")
+)
+def _finetune_attack_step(train_part, opt_state, rays_o, rays_d, target,
+                          orig_backbone, trainable, occupancy, wcfg, rc,
+                          budget, opt_update):
+    # model state enters as ARGUMENTS, not closure constants (see the
+    # attack_sweep comment: closed-over weight pytrees embed as HLO
+    # literals and blow the relay's request-size limit — HTTP 413)
+    ones_msg = jnp.ones((wcfg.message_dim,), jnp.int32)
+
+    def loss_fn(tp):
+        bb = dict(orig_backbone, **tp)
+        field = lambda x, d: wtmk_field(bb, trainable, wcfg, x, d, ones_msg)
+        # render at the SAME budget the pseudo-GT targets were produced
+        # with, so the loss floor is the watermark contribution alone,
+        # not a render-budget domain shift
+        out = render_rays_occ(
+            field, occupancy, rays_o, rays_d, rc, budget=budget, bg_color=1.0,
+        )
+        return jnp.mean((out["image"] - target) ** 2)
+
+    loss, grad = jax.value_and_grad(loss_fn)(train_part)
+    updates, opt_state = opt_update(grad, opt_state, train_part)
+    return optax.apply_updates(train_part, updates), opt_state, loss
 
 
 def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096,
@@ -219,27 +271,6 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096,
     opt = optax.adam(lr)
     opt_state = opt.init(train0)
 
-    ones_msg = jnp.ones((m.wcfg.message_dim,), jnp.int32)
-
-    @jax.jit
-    def step(train_part, opt_state, rays_o, rays_d, target):
-        def loss_fn(tp):
-            bb = dict(orig_backbone, **tp)
-            field = lambda x, d: wtmk_field(bb, m.trainable, m.wcfg, x, d,
-                                            ones_msg)
-            # render at the SAME budget the pseudo-GT targets were produced
-            # with, so the loss floor is the watermark contribution alone,
-            # not a render-budget domain shift
-            out = render_rays_occ(
-                field, m.occ.occupancy, rays_o, rays_d, m.rc,
-                budget=m.infer_budget, bg_color=1.0,
-            )
-            return jnp.mean((out["image"] - target) ** 2)
-
-        loss, grad = jax.value_and_grad(loss_fn)(train_part)
-        updates, opt_state = opt.update(grad, opt_state, train_part)
-        return optax.apply_updates(train_part, updates), opt_state, loss
-
     tp = train0
     loss = float("nan")
     done = 0
@@ -252,7 +283,11 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096,
             rays_o = jnp.asarray(ct["rays_o"]).reshape(-1, 3)[:num_rays]
             rays_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)[:num_rays]
             target = jnp.asarray(ct["images"]).reshape(-1, 3)[:num_rays]
-            tp, opt_state, loss = step(tp, opt_state, rays_o, rays_d, target)
+            tp, opt_state, loss = _finetune_attack_step(
+                tp, opt_state, rays_o, rays_d, target, orig_backbone,
+                m.trainable, m.occ.occupancy, m.wcfg, m.rc, m.infer_budget,
+                opt.update,
+            )
             done += 1
         if done == before:
             raise ValueError("finetune_attack loader yielded no batches — "

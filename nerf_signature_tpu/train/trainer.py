@@ -386,17 +386,20 @@ class Trainer:
         from ..utils.clip_loss import clip_guidance_loss
 
         m = self.model
-        clip_params = self._clip.params
         clip_meta = self._clip.meta
-        text_features = self._clip.text_features
         opt_update = self.optimizer.update
         ema_decay = self.ema_decay
         cfg, rc = m.cfg, m.rc
         budget = m.train_budget  # static; closure rebuilt if it adapts
 
+        # the CLIP tower and text features enter as ARGUMENTS, not closure
+        # constants: closed-over weight pytrees embed into the serialized
+        # HLO as literals and blow the tunneled relay's request-size limit
+        # (HTTP 413 on remote_compile — observed live on the attack suite,
+        # whose programs closed over the backbone the same way)
         @jax.jit
-        def step(params, ema_params, opt_state, occupancy, rays_o, rays_d,
-                 key):
+        def step(params, ema_params, opt_state, occupancy, clip_params,
+                 text_features, rays_o, rays_d, key):
             def loss_fn(p):
                 field = lambda x, d: ngp_field(p, cfg, x, d)
                 bg_fn = (
@@ -438,6 +441,7 @@ class Trainer:
         rays_d = jnp.asarray(data["rays_d"]).reshape(-1, 3)
         (m.params, self.ema_params, self.opt_state, loss) = self._clip_step(
             m.params, self.ema_params, self.opt_state, m.occ.occupancy,
+            self._clip.params, self._clip.text_features,
             rays_o, rays_d, m._next_key(),
         )
         n = rays_o.shape[0]
