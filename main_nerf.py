@@ -75,6 +75,13 @@ def main():
     if opt.test:
         trainer = Trainer("ngp", opt, model, workspace=opt.workspace,
                           metrics=metrics, use_checkpoint=opt.ckpt)
+        if opt.mesh_only:
+            from nerf_signature_tpu.meshing import save_mesh
+
+            save_mesh(model, f"{opt.workspace}/mesh.ply",
+                      resolution=opt.mesh_resolution, threshold=10)
+            trainer.log(f"[mesh] wrote {opt.workspace}/mesh.ply")
+            return
         test_loader = NeRFDataset(opt, type="test").dataloader()
         if test_loader.has_gt:
             trainer.evaluate_one_epoch(test_loader)

@@ -101,6 +101,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--devices", type=int, default=0,
                         help="shard rays over N devices (0 = all available)")
     parser.add_argument("--mesh_resolution", type=int, default=256)
+    parser.add_argument("--mesh_only", action="store_true",
+                        help="with --test: skip eval/test renders and only "
+                             "export the marching-cubes mesh")
     parser.add_argument("--steps_per_dispatch", type=int, default=0,
                         help=">0: fully on-device lax.scan training loop "
                              "with K steps per dispatch (uniform sampling)")
