@@ -456,6 +456,7 @@ class WatermarkTrainer:
 
         self.epoch = 0
         self.global_step = 0
+        self._wm_state_loaded = False
         self.stats = {"loss": [], "lossi": [], "lossw": [], "results": [],
                       "checkpoints": [], "best_result": None}
         self.rng = np.random.default_rng(opt.seed)
@@ -519,7 +520,41 @@ class WatermarkTrainer:
                     self.log(f"[ckpt] {path} unreadable ({e}); "
                              f"falling back to previous")
         elif use_checkpoint and os.path.exists(use_checkpoint):
-            self.load_checkpoint(use_checkpoint, model_only=True)
+            # Crash-resume guard: a watchdogged wm stage relaunches with its
+            # ORIGINAL flags, so --ckpt still names the clean backbone (in
+            # another workspace) even when THIS workspace already holds
+            # wm-stage progress — loading only the backbone would silently
+            # retrain the watermark from step 0 (observed live: a relay
+            # wedge at the 600-iter mark cost a full re-embed).  If the
+            # explicit path lies outside this workspace and wm checkpoints
+            # exist here, resume from the newest of those instead.  An
+            # explicit path INSIDE the workspace (a deliberate rewind to a
+            # specific epoch) is honoured unchanged.
+            resumed = False
+            explicit_inside = self.ckpt_path is not None and (
+                os.path.dirname(os.path.abspath(use_checkpoint))
+                == os.path.abspath(self.ckpt_path)
+            )
+            if self.ckpt_path is not None and not explicit_inside:
+                from .checkpoint import checkpoint_candidates
+
+                for path in checkpoint_candidates(self.ckpt_path, name):
+                    try:
+                        self.load_checkpoint(path)
+                    except Exception as e:
+                        self.log(f"[ckpt] {path} unreadable ({e}); "
+                                 f"falling back to previous")
+                        continue
+                    if self._wm_state_loaded and self.global_step > 0:
+                        self.log(
+                            f"[ckpt] workspace already holds wm-stage "
+                            f"progress (step {self.global_step}) — resumed "
+                            f"from {path} instead of restarting from the "
+                            f"backbone {use_checkpoint}")
+                        resumed = True
+                    break
+            if not resumed:
+                self.load_checkpoint(use_checkpoint, model_only=True)
 
     # ------------------------------------------------------------------ util
     def log(self, *args):
