@@ -1,6 +1,9 @@
 """Benchmark: clean-NGP training throughput (rays/sec) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — by
+default the primary metric is the clean-train rate, with the staged-render
+and wm-stage rates included as extra keys ("render_rays_per_sec",
+"wm_train_rays_per_sec") so all three modes land on the per-round record.
 
 Protocol: the training loop runs FULLY ON DEVICE — K steps per dispatch via
 ``lax.scan`` (``train/device_loop.py``), with pose choice, pixel sampling,
@@ -122,7 +125,20 @@ def main():
     # the device loop donates its inputs; rebind to the live buffers
     params, ema, opt_state, occ = out[:4]
 
-    if os.environ.get("BENCH_RENDER") == "1":
+    # mode selection: BENCH_RENDER=1 / BENCH_WM=1 print only that metric
+    # (back-compat with the profiling scripts); the default run measures
+    # ALL THREE modes and prints ONE JSON line whose primary metric is the
+    # clean-train rate with the other two as extra keys — so every round's
+    # BENCH_r*.json tracks every throughput mode (VERDICT r2 weak #7).
+    # BENCH_TRAIN_ONLY=1 restores the train-only quick run.
+    mode = ("render" if os.environ.get("BENCH_RENDER") == "1"
+            else "wm" if os.environ.get("BENCH_WM") == "1"
+            else "train" if os.environ.get("BENCH_TRAIN_ONLY") == "1"
+            else "all")
+
+    render_rps = wm_rps = None
+
+    if mode in ("all", "render"):
         # inference throughput: staged occupancy render of a full 256x256
         # view through the trained params.  Dispatched as 4-chunk lax.map
         # programs (4 x 4096 rays x budget 128): large per-dispatch programs
@@ -152,16 +168,17 @@ def main():
             )[0]))  # materialise = barrier
         dt_r = time.perf_counter() - t0
         assert np.isfinite(s)
-        rays_per_sec = H * W / dt_r
-        print(json.dumps({
-            "metric": "render_rays_per_sec",
-            "value": round(rays_per_sec, 1),
-            "unit": "rays/s",
-            "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        }))
-        return
+        render_rps = H * W / dt_r
+        if mode == "render":
+            print(json.dumps({
+                "metric": "render_rays_per_sec",
+                "value": round(render_rps, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(render_rps / BASELINE_RAYS_PER_SEC, 3),
+            }))
+            return
 
-    if os.environ.get("BENCH_WM") == "1":
+    if mode in ("all", "wm"):
         # watermark-stage step throughput at the paper's headline shapes:
         # 16-bit message, 16 8x8 key blocks + 4096 content rays per step,
         # all inside the _wm_device_loop scan
@@ -204,22 +221,28 @@ def main():
         losses = np.asarray(out[2])
         dt_w = time.perf_counter() - t0
         assert np.isfinite(losses).all()
-        rays_per_sec = (n_rays + D * bh * bw) * n_steps / dt_w
-        print(json.dumps({
-            "metric": "wm_train_rays_per_sec",
-            "value": round(rays_per_sec, 1),
-            "unit": "rays/s",
-            "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        }))
-        return
+        wm_rps = (n_rays + D * bh * bw) * n_steps / dt_w
+        if mode == "wm":
+            print(json.dumps({
+                "metric": "wm_train_rays_per_sec",
+                "value": round(wm_rps, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(wm_rps / BASELINE_RAYS_PER_SEC, 3),
+            }))
+            return
 
     rays_per_sec = n_rays * n_steps / dt
-    print(json.dumps({
+    record = {
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-    }))
+    }
+    if render_rps is not None:
+        record["render_rays_per_sec"] = round(render_rps, 1)
+    if wm_rps is not None:
+        record["wm_train_rays_per_sec"] = round(wm_rps, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -14,10 +14,11 @@ Launch contract (one process per host, e.g. under your cluster runner):
     NGP_COORDINATOR=host0:29500 NGP_NUM_PROCESSES=4 NGP_PROCESS_ID=$i \
         python main_nerf.py ... --devices 0
 
-On TPU pods the three variables are optional — ``jax.distributed`` auto-
-detects the topology from the TPU runtime environment; set them explicitly
-for CPU/GPU clusters (CPU processes form collectives over Gloo, which is how
-``tests/test_multihost.py`` validates this path without TPUs).
+On TPU pods set ``NGP_MULTIHOST=1`` alone — ``jax.distributed`` then auto-
+detects the topology from the TPU runtime environment; set all three
+variables explicitly for CPU/GPU clusters (CPU processes form collectives
+over Gloo, which is how ``tests/test_multihost.py`` validates this path
+without TPUs).
 
 Data contract: batches are generated host-side with a process-independent
 seed, so every process holds the same logical global batch; ``put_global``
@@ -44,11 +45,26 @@ def maybe_initialize():
     """
     coord = os.environ.get("NGP_COORDINATOR")
     if not coord:
+        if os.environ.get("NGP_MULTIHOST") == "1":
+            # TPU-pod path: the TPU runtime environment carries the
+            # topology, so jax.distributed auto-detects everything —
+            # opt in explicitly since initialize() hangs on lone hosts.
+            jax.distributed.initialize()
+            return True
         return False
+    nproc = os.environ.get("NGP_NUM_PROCESSES")
+    pid = os.environ.get("NGP_PROCESS_ID")
+    if nproc is None or pid is None:
+        raise RuntimeError(
+            "NGP_COORDINATOR is set but NGP_NUM_PROCESSES / NGP_PROCESS_ID "
+            "are not — all three are required for explicit multi-process "
+            "launch (or set NGP_MULTIHOST=1 alone on TPU pods for "
+            "auto-detection)"
+        )
     jax.distributed.initialize(
         coordinator_address=coord,
-        num_processes=int(os.environ["NGP_NUM_PROCESSES"]),
-        process_id=int(os.environ["NGP_PROCESS_ID"]),
+        num_processes=int(nproc),
+        process_id=int(pid),
     )
     return True
 

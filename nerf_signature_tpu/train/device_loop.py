@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.ngp import ngp_background, ngp_density, ngp_field
@@ -73,14 +74,15 @@ def rays_from_pixels(pose, intrinsics, pix, H, W):
     static_argnames=("cfg", "rc", "budget", "opt_update", "has_alpha",
                      "ema_decay", "n_steps", "num_rays", "H", "W",
                      "update_interval", "density_thresh", "grid_full_until",
-                     "mesh"),
+                     "mesh", "patch_size"),
     donate_argnums=(0, 1, 2, 3),
 )
 def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                       images, intrinsics, key, step0, cfg, rc, budget,
                       opt_update, has_alpha, ema_decay, n_steps, num_rays,
                       H, W, update_interval=16, density_thresh=0.01,
-                      grid_full_until=16, mesh=None, error_map=None):
+                      grid_full_until=16, mesh=None, error_map=None,
+                      patch_size=1, lambda_ssim=None):
     """Run ``n_steps`` training steps on device.
 
     poses: [P, 4, 4]; images: [P, H*W, C] (preloaded); intrinsics: [4].
@@ -92,7 +94,8 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
     scan (``sample_error_map``; ref ``nerf/utils.py:104-114,549-556``),
     carried through the loop and returned.
     Returns (params, ema, opt_state, occ, losses [n_steps], mean_occupied,
-    error_map).
+    error_map, occ_p95) — occ_p95 is the max over steps of the per-step p95
+    occupied count, the budget-adaptation statistic.
     """
     P = poses.shape[0]
     intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
@@ -135,6 +138,24 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
         pidx = jax.random.randint(kp, (), 0, P)
         if use_error_map:
             pix, inds_coarse = sample_error_map(ki, em[pidx], num_rays, H, W)
+        elif patch_size > 1:
+            # patch-structured sampling (mirrors data/rays.get_rays patch
+            # mode / the wm scan loop) so the SSIM patch term sees real
+            # local structure; tail rays stay uniform
+            pp = patch_size
+            npatch = num_rays // (pp * pp)
+            kx, ky, kt = jax.random.split(ki, 3)
+            tx = jax.random.randint(kx, (npatch,), 0, H - pp)
+            ty = jax.random.randint(ky, (npatch,), 0, W - pp)
+            pi, pj = np.meshgrid(np.arange(pp), np.arange(pp), indexing="ij")
+            off = jnp.asarray(pi.ravel() * W + pj.ravel())
+            pix = ((tx * W + ty)[:, None] + off[None]).reshape(-1)
+            if npatch * pp * pp < num_rays:
+                rest = jax.random.randint(
+                    kt, (num_rays - npatch * pp * pp,), 0, H * W
+                )
+                pix = jnp.concatenate([pix, rest])
+            inds_coarse = None
         else:
             pix = jax.random.randint(ki, (num_rays,), 0, H * W)
             inds_coarse = None
@@ -165,7 +186,17 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                 bg_color=bg, perturb_key=kpert, bg_fn=bg_fn,
             )
             err = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
-            return jnp.mean(err), (out["n_occupied"], err)
+            loss = jnp.mean(err)
+            if patch_size > 1 and lambda_ssim is not None:
+                from .metrics import ssim_jnp
+
+                pp = patch_size
+                npatch = num_rays // (pp * pp)
+                pred = out["image"][: npatch * pp * pp].reshape(
+                    npatch, pp, pp, 3)
+                gtp = gt[: npatch * pp * pp].reshape(npatch, pp, pp, 3)
+                loss = loss + lambda_ssim * (1.0 - ssim_jnp(pred, gtp))
+            return loss, (out["n_occupied"], err)
 
         (loss, (n_occ, err)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -186,13 +217,19 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                 0.1 * row[inds_coarse] + 0.9 * jax.lax.stop_gradient(err)
             )
             em = em.at[pidx].set(row)
-        return (params, ema, opt_state, occ, em), (loss, jnp.mean(n_occ))
+        # p95 of per-ray occupied counts feeds the host-side march-budget
+        # adaptation (_adapt_budget) between dispatches — the scan path used
+        # to starve forward-facing scenes at a saturated budget because only
+        # the mean was reported (LLFF 17.58 dB finding, PERF.md r2)
+        occ_p95 = jnp.percentile(n_occ.astype(jnp.float32), 95.0)
+        return (params, ema, opt_state, occ, em), (
+            loss, jnp.mean(n_occ), occ_p95)
 
     keys = jax.random.split(key, n_steps)
     steps = step0 + jnp.arange(n_steps)
-    (params, ema, opt_state, occ, error_map), (losses, occ_means) = \
-        jax.lax.scan(
+    (params, ema, opt_state, occ, error_map), (losses, occ_means, occ_p95s) \
+        = jax.lax.scan(
             body, (params, ema, opt_state, occ, error_map), (keys, steps)
         )
     return (params, ema, opt_state, occ, losses, jnp.mean(occ_means),
-            error_map)
+            error_map, jnp.max(occ_p95s))

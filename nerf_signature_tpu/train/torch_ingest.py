@@ -21,10 +21,17 @@ Watermark extras (``nerf/network_wtmk_tcnn.py``):
   * ``msg_decoder.layers.{k}.layers.{0,1}`` (Conv2d OIHW + BatchNorm) and
     ``msg_decoder.linear`` -> the HiDDeN decoder pytree (HWIO layout).
 
-Caveat: tcnn SH (``encoder_dir``) has no params, but its basis ordering may
-differ from our ``sh_encode``; a color net trained against tcnn SH will only
-render identically if the bases match — validate with ``test_bitacc`` /PSNR
-after import (documented limitation, cannot be verified without tcnn).
+SH basis (VERIFIED, round 3): tcnn SH (``encoder_dir``,
+``nerf/network_hash.py:55-61``) has no params, and its basis — tiny-cuda-nn
+``encodings/spherical_harmonics.h`` ``sh_enc``, enumerated literally in
+``tests/test_sh_tcnn_basis.py`` — matches our ``sh_encode`` (and the
+reference's pure-torch ``SHEncoder``) feature-for-feature on UNIT direction
+vectors: same order, same signs, same coefficients; tcnn's pure-z² forms
+(e.g. ``0.9462 z² − 0.3154``) equal the sphere-restricted forms
+(``0.3154 (2z² − x² − y²)``) exactly when ``x²+y²+z² = 1``, which every
+caller guarantees (dirs are normalized, ref ``network_hash.py:90``).  An
+imported frozen color net therefore renders identically; no basis
+permutation is needed.
 """
 
 import numpy as np

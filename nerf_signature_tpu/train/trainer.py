@@ -541,6 +541,23 @@ class Trainer:
 
         m = self.model
         max_steps = max_steps or self.opt.iters
+        # the scan loop supports the SSIM patch guard (patch-structured
+        # sampling in-program) but not the LPIPS patch loss (the AlexNet
+        # stack would ride every scan carry) — fail loud instead of
+        # silently dropping a validated, logged-as-active flag
+        if self._lpips_params is not None:
+            raise RuntimeError(
+                "--patch_size LPIPS loss is not supported with "
+                "--steps_per_dispatch scan training; drop "
+                "--steps_per_dispatch (per-step path) or unset the LPIPS "
+                "weights"
+            )
+        use_ssim = self.lambda_ssim > 0 and self.patch_size > 1
+        if use_ssim and getattr(loader, "error_map", None) is not None:
+            raise RuntimeError(
+                "--lambda_ssim patch sampling and --error_map importance "
+                "sampling are mutually exclusive in the scan loop"
+            )
         P = len(loader.poses)
         C = loader.images.shape[-1]
         poses = jnp.asarray(np.asarray(loader.poses))
@@ -575,7 +592,7 @@ class Trainer:
         while self.global_step < max_steps:
             k = min(steps_per_dispatch, max_steps - self.global_step)
             (m.params, self.ema_params, self.opt_state, m.occ, losses,
-             mean_occ, em) = device_train_loop(
+             mean_occ, em, occ_p95) = device_train_loop(
                 m.params, self.ema_params, self.opt_state, m.occ, poses,
                 images, intr, m._next_key(), self.global_step, m.cfg, m.rc,
                 m.train_budget, self.optimizer.update, C == 4,
@@ -583,6 +600,9 @@ class Trainer:
                 update_interval=getattr(self.opt, "update_extra_interval", 16),
                 density_thresh=m.density_thresh,
                 mesh=self.mesh, error_map=em,
+                patch_size=self.patch_size if use_ssim else 1,
+                lambda_ssim=(jnp.float32(self.lambda_ssim)
+                             if use_ssim else None),
             )
             if getattr(loader, "error_map", None) is None:
                 em = None  # keep passing the no-map trace
@@ -596,8 +616,13 @@ class Trainer:
                 f"({rays_s / 1e6:.2f}M rays/s)"
             )
             self.log_metrics(loss=float(losses.mean()), rays_per_sec=rays_s,
-                             mean_occ=float(mean_occ))
+                             mean_occ=float(mean_occ),
+                             train_budget=m.train_budget)
             self._adapt_compaction(float(mean_occ))
+            # march-budget adaptation in the scan path too (the LLFF r2
+            # finding: forward-facing scenes saturate the static budget and
+            # starve surfaces when only the per-step path adapts)
+            self._adapt_budget(float(occ_p95))
             start = time.time()
             self.epoch += 1
             # checkpoint periodically, NOT per dispatch: a full save fetches
@@ -822,8 +847,22 @@ class Trainer:
             return
         self.log(f"[ckpt] {path} carries no occupancy grid (best-ckpt "
                  "format drops it) — rebuilding from the density field")
+        from ..ops.grid import update_occupancy_grid
+
+        # full-query passes regardless of iter_density bookkeeping
+        # (update_extra_state only does full updates while iter_density < 16)
         for _ in range(2):
-            m.update_extra_state()
-        # force full-query passes regardless of iter_density bookkeeping
+            m.occ = update_occupancy_grid(
+                m.occ, m._next_key(), m.density_fn,
+                bound=m.rc.bound, grid_size=m.rc.grid_size,
+                density_scale=m.rc.density_scale,
+                density_thresh=m.density_thresh, full=True,
+            )
         frac = float(jnp.mean(m.occ.occupancy.astype(jnp.float32)))
         self.log(f"[ckpt] rebuilt occupancy grid: {frac:.3f} occupied")
+        if frac == 0.0:
+            raise RuntimeError(
+                "occupancy rebuild produced an empty grid — the model in "
+                f"{path} renders nothing (wrong checkpoint, or density_thresh "
+                f"{m.density_thresh} too high for this scene)"
+            )

@@ -539,19 +539,31 @@ class WatermarkTrainer:
                 from .checkpoint import checkpoint_candidates
 
                 for path in checkpoint_candidates(self.ckpt_path, name):
+                    # Peek at the raw dict BEFORE applying anything: both
+                    # stages name checkpoints ngp_ep*.ckpt, and committing
+                    # to load_checkpoint() first would apply a stale
+                    # CLEAN-stage candidate's epoch/global_step/opt_state —
+                    # the model-only fallback below never resets them, so
+                    # the wm stage would silently train ~0 steps.
                     try:
-                        self.load_checkpoint(path)
+                        raw = load_checkpoint(path)
                     except Exception as e:
                         self.log(f"[ckpt] {path} unreadable ({e}); "
                                  f"falling back to previous")
                         continue
-                    if self._wm_state_loaded and self.global_step > 0:
-                        self.log(
-                            f"[ckpt] workspace already holds wm-stage "
-                            f"progress (step {self.global_step}) — resumed "
-                            f"from {path} instead of restarting from the "
-                            f"backbone {use_checkpoint}")
-                        resumed = True
+                    if not ("backbone" in raw and "trainable" in raw
+                            and int(raw.get("global_step", 0)) > 0):
+                        self.log(f"[ckpt] {path} holds no wm-stage progress "
+                                 "(clean-format or step 0) — not a resume "
+                                 "candidate")
+                        continue
+                    self.load_checkpoint(path)
+                    self.log(
+                        f"[ckpt] workspace already holds wm-stage "
+                        f"progress (step {self.global_step}) — resumed "
+                        f"from {path} instead of restarting from the "
+                        f"backbone {use_checkpoint}")
+                    resumed = True
                     break
             if not resumed:
                 self.load_checkpoint(use_checkpoint, model_only=True)

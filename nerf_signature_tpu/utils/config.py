@@ -192,7 +192,7 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     parser.add_argument(
         "--distortion", type=str, default="none",
         choices=["none", "noise", "rotation", "scaling", "blurring",
-                 "brightness", "jpeg"],
+                 "brightness", "jpeg", "crop"],
     )
     # robustness suites (reference: --distortion rerun + the checkpoint-variant
     # epsilon-ball adversarial attack)

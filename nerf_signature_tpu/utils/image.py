@@ -107,6 +107,16 @@ def distortion_layer(key, images, kind="none"):
     if kind == "brightness":
         f = jax.random.uniform(key, (B, 1, 1, 1), minval=0.5, maxval=1.5)
         return images * f
+    if kind == "crop":
+        # train-through-crop: random central keep-area per step, the same
+        # zero-outside masking as the crop_50 attack (utils/attacks.py) —
+        # closes the sweep's crop hole the way the reference's in-loop
+        # distortion recipe closes noise/rotation (utils_wtmk_disen.py:551-577
+        # has no crop arm; the attack geometry makes one necessary at 32 bits)
+        from .attacks import center_crop
+
+        frac = jax.random.uniform(key, (), minval=0.3, maxval=0.9)
+        return center_crop(images, frac)
     if kind == "jpeg":
         # JPEG-in-the-loop robust training (the reference's experimental
         # ``utils_wtmk_disen_jpeg`` variant, SURVEY.md §2.7) — fully in-XLA

@@ -38,6 +38,15 @@ SPHERES = [
 GROUND_Y = -0.45
 GROUND_R = 0.95
 
+# --env (unbounded-style variant): surrounding environment beyond the unit
+# box — extended ground annulus + textured cylindrical wall.  Geometry sized
+# so the reference's 360 recipe (``README.md:40``: --bound 2 --scale 0.33)
+# puts the wall at 4.5 * 0.33 ~= 1.5, i.e. INSIDE bound 2 but OUTSIDE bound
+# 1 — real cascade-2 content for the mip-level march logic
+# (ops/marching.py:137-151, ref raymarching.cu:42-54).
+ENV_R = 4.5
+ENV_WALL_TOP = 3.2
+
 
 def _tex(tid, p):
     """Procedural RGB textures with high-frequency content (JPEG-ratio key
@@ -65,6 +74,21 @@ def _tex(tid, p):
     return np.stack([g, g * 0.95, g * 0.85], -1)
 
 
+def _cylinder_hit(ro, rd, radius, y0, y1):
+    """Inside-out hit against a vertical cylinder shell (the env wall)."""
+    ox, oz = ro[..., 0], ro[..., 2]
+    dx, dz = rd[..., 0], rd[..., 2]
+    a = dx * dx + dz * dz
+    b = ox * dx + oz * dz
+    c = ox * ox + oz * oz - radius * radius
+    disc = b * b - a * c
+    ok = (disc > 0) & (a > 1e-12)
+    # camera is inside the cylinder: take the far (exit) root
+    t = (-b + np.sqrt(np.maximum(disc, 0.0))) / np.where(a > 1e-12, a, 1.0)
+    y = ro[..., 1] + t * rd[..., 1]
+    return np.where(ok & (t > 1e-4) & (y > y0) & (y < y1), t, np.inf)
+
+
 def _sphere_hit(ro, rd, center, radius):
     oc = ro - center
     b = np.sum(oc * rd, -1)
@@ -74,13 +98,14 @@ def _sphere_hit(ro, rd, center, radius):
     return np.where((disc > 0) & (t > 1e-4), t, np.inf)
 
 
-def _ground_hit(ro, rd):
+def _ground_hit(ro, rd, radius=None):
     t = (GROUND_Y - ro[..., 1]) / np.where(
         np.abs(rd[..., 1]) < 1e-8, 1e-8, rd[..., 1]
     )
     p = ro + t[..., None] * rd
     r2 = p[..., 0] ** 2 + p[..., 2] ** 2
-    return np.where((t > 1e-4) & (r2 < GROUND_R**2), t, np.inf)
+    rmax = GROUND_R if radius is None else radius
+    return np.where((t > 1e-4) & (r2 < rmax**2), t, np.inf)
 
 
 def _shadowed(p):
@@ -93,10 +118,12 @@ def _shadowed(p):
     return sh
 
 
-def trace(ro, rd):
+def trace(ro, rd, env=False):
     """RGBA for rays [N, 3]."""
     ts = [_sphere_hit(ro, rd, c, r) for c, r, _ in SPHERES]
-    ts.append(_ground_hit(ro, rd))
+    ts.append(_ground_hit(ro, rd, radius=ENV_R if env else None))
+    if env:
+        ts.append(_cylinder_hit(ro, rd, ENV_R, GROUND_Y, ENV_WALL_TOP))
     ts = np.stack(ts, -1)  # [N, K]
     k = np.argmin(ts, -1)
     t = np.take_along_axis(ts, k[..., None], -1)[..., 0]
@@ -116,6 +143,23 @@ def trace(ro, rd):
     if mg.any():
         normal[mg] = np.array([0, 1, 0], np.float32)
         rgb[mg] = _tex(-1, p[mg])
+    if env:
+        mw = hit & (k == len(SPHERES) + 1)
+        if mw.any():
+            pw = p[mw]
+            n = -pw.copy()
+            n[:, 1] = 0.0
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+            normal[mw] = n
+            # brick-ish wall texture keyed on azimuth + height (high
+            # frequency so key blocks can land on the wall too)
+            az = np.arctan2(pw[:, 2], pw[:, 0])
+            cbrick = (np.floor(8 * az) + np.floor(3.5 * pw[:, 1])) % 2
+            rgb[mw] = np.stack([
+                0.45 + 0.35 * cbrick + 0.1 * np.sin(40 * az),
+                0.30 + 0.25 * cbrick,
+                0.25 + 0.15 * np.cos(25 * pw[:, 1]),
+            ], -1)
 
     lam = np.clip(np.sum(normal * LIGHT, -1), 0.0, 1.0)
     shade = 0.25 + 0.75 * lam * (~_shadowed(p) | ~hit)
@@ -132,6 +176,11 @@ def main():
     ap.add_argument("--views", type=int, default=60)
     ap.add_argument("--colmap", action="store_true",
                     help="also write colmap-style transforms.json")
+    ap.add_argument("--env", action="store_true",
+                    help="unbounded-style variant: surrounding wall+ground "
+                         "environment beyond the unit box; cameras orbit at "
+                         "2.2 looking at the center (360-recipe shape: "
+                         "--bound 2 --scale 0.33 puts the wall in cascade 2)")
     args = ap.parse_args()
 
     import cv2
@@ -143,7 +192,7 @@ def main():
     for split, n in [("train", args.views), ("val", 2),
                      ("test", max(4, args.views // 10))]:
         frames = []
-        poses = orbit_poses_rh(rng, n, radius=1.9)
+        poses = orbit_poses_rh(rng, n, radius=2.2 if args.env else 1.9)
         for i, pose in enumerate(poses):
             # invert the ngp-convention pose back to Blender convention
             # (same transform as make_ball_dataset)
@@ -153,7 +202,8 @@ def main():
             inv[2] = [pose[1, 0], -pose[1, 1], -pose[1, 2], pose[1, 3]]
             fl = W / (2 * np.tan(FOCAL_ANGLE / 2))
             rays = get_rays(pose[None], (fl, fl, W / 2, H / 2), H, W, -1)
-            rgba = trace(rays["rays_o"][0], rays["rays_d"][0]).reshape(H, W, 4)
+            rgba = trace(rays["rays_o"][0], rays["rays_d"][0],
+                         env=args.env).reshape(H, W, 4)
             fname = f"r_{split}_{i}.png"
             cv2.imwrite(os.path.join(args.root, fname),
                         cv2.cvtColor((rgba * 255).astype(np.uint8),

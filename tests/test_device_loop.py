@@ -54,7 +54,8 @@ class TestDeviceLoop:
             jax.random.PRNGKey(1), 0, TINY, rc, 16, optimizer.update,
             False, 0.95, 32, 64, H, W, update_interval=8,
         )
-        params2, ema2, opt2, occ2, losses, mean_occ, _ = out
+        params2, ema2, opt2, occ2, losses, mean_occ, _, occ_p95 = out
+        assert np.isfinite(float(occ_p95))
         losses = np.asarray(losses)
         assert losses.shape == (32,)
         assert np.isfinite(losses).all()
@@ -62,6 +63,41 @@ class TestDeviceLoop:
         assert int(occ2.iter_density) == 4
         # learning happened
         assert losses[-4:].mean() < losses[:4].mean()
+
+
+class TestDeviceLoopSsim:
+    def test_patch_ssim_guard_runs_in_scan(self):
+        """--patch_size + --lambda_ssim thread through the scan loop
+        (ADVICE r2: the flags were silently dropped on this path)."""
+        rc = RenderConfig(bound=1.0, grid_size=16, max_steps=64)
+        params = init_ngp_params(jax.random.PRNGKey(0), TINY)
+        optimizer = make_optimizer(2e-2, 16)
+        opt_state = optimizer.init(params)
+        ema = jax.tree_util.tree_map(jnp.copy, params)
+        occ = init_occupancy_grid(1.0, 16)
+
+        rng = np.random.default_rng(0)
+        H = W = 24
+        poses = jnp.asarray(rand_poses(rng, 2, radius=1.5))
+        intr = jnp.asarray([30.0, 30.0, 12.0, 12.0])
+        images = jnp.full((2, H * W, 3), 0.5)
+
+        def run(lam):
+            # the loop donates params/ema/opt_state/occ — copy per run
+            cp = jax.tree_util.tree_map(jnp.copy, (params, ema, opt_state, occ))
+            out = device_train_loop(
+                *cp, poses, images, intr,
+                jax.random.PRNGKey(1), 0, TINY, rc, 8, optimizer.update,
+                False, None, 4, 64, H, W, update_interval=8,
+                patch_size=4, lambda_ssim=lam,
+            )
+            return np.asarray(out[4])
+
+        with_ssim = run(jnp.float32(0.5))
+        without = run(None)
+        assert np.isfinite(with_ssim).all()
+        # the SSIM term is active: losses differ from the plain-MSE trace
+        assert not np.allclose(with_ssim, without)
 
 
 class TestWmDeviceLoop:

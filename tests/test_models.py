@@ -162,7 +162,7 @@ class TestDistortions:
         key = jax.random.PRNGKey(0)
         imgs = jax.random.uniform(key, (3, 16, 16, 3))
         for kind in ["none", "noise", "rotation", "scaling", "blurring",
-                     "brightness"]:
+                     "brightness", "crop"]:
             out = distortion_layer(key, imgs, kind)
             assert out.shape == imgs.shape, kind
             assert bool(jnp.all(jnp.isfinite(out))), kind
@@ -176,7 +176,8 @@ class TestDistortions:
     def test_distortions_differentiable(self):
         key = jax.random.PRNGKey(0)
         imgs = jax.random.uniform(key, (2, 12, 12, 3))
-        for kind in ["noise", "rotation", "scaling", "blurring", "brightness"]:
+        for kind in ["noise", "rotation", "scaling", "blurring",
+                     "brightness", "crop"]:
             g = jax.grad(
                 lambda im: jnp.sum(distortion_layer(key, im, kind) ** 2)
             )(imgs)

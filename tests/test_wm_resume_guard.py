@@ -85,6 +85,35 @@ def test_explicit_rewind_inside_workspace_is_honoured(tmp_path):
     assert tr2.global_step == 0
 
 
+def test_stale_clean_ckpt_in_workspace_is_rejected_without_side_effects(
+        tmp_path):
+    """A CLEAN-stage checkpoint parked in the wm workspace (both stages name
+    ckpts ngp_ep*.ckpt) must not poison the resume: the guard used to apply
+    its epoch/global_step/opt_state BEFORE rejecting it, leaving global_step
+    at the clean run's value so the wm stage silently trained ~0 steps
+    (ADVICE r2)."""
+    clean_path = str(tmp_path / "clean" / "ngp_ep0012.ckpt")
+    (tmp_path / "clean").mkdir()
+    m = _model()
+    save_checkpoint(clean_path,
+                    {"params": jax.tree_util.tree_map(np.asarray, m.backbone)})
+    ws = str(tmp_path / "ws_stale")
+    stale_dir = tmp_path / "ws_stale" / "checkpoints"
+    stale_dir.mkdir(parents=True)
+    # clean-format checkpoint WITH progress markers, as a clean stage run
+    # in this workspace would have left behind
+    save_checkpoint(
+        str(stale_dir / "ngp_ep0099.ckpt"),
+        {"params": jax.tree_util.tree_map(np.asarray, m.backbone),
+         "epoch": 99, "global_step": 792},
+    )
+    tr = WatermarkTrainer("ngp", _opt(), _model(), workspace=ws,
+                          use_checkpoint=clean_path, mute=True)
+    assert not tr._wm_state_loaded
+    assert tr.global_step == 0  # NOT 792
+    assert tr.epoch == 0
+
+
 def test_no_workspace_progress_loads_backbone(tmp_path):
     clean_path = str(tmp_path / "clean" / "ngp_ep0012.ckpt")
     (tmp_path / "clean").mkdir()
