@@ -55,6 +55,9 @@ def main():
     cfg = NGPConfig(
         bound=1.0, compute_dtype=jnp.bfloat16,
         stochastic_hash_grad=os.environ.get("BENCH_EXACT") != "1",
+        # BENCH_LEVEL_STRIDE=2: backward hash-gradient level subsampling
+        # (unbiased; halves the step's largest term — see PERF.md round 3)
+        hash_level_stride=int(os.environ.get("BENCH_LEVEL_STRIDE", "1")),
         # BENCH_DENSE=1: tcnn-style dense coarse levels (A/B the gather
         # locality win; see ops.hashenc.level_sides)
         dense_coarse=os.environ.get("BENCH_DENSE") == "1",

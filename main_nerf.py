@@ -41,6 +41,7 @@ def main():
         compute_dtype=jax.numpy.bfloat16 if opt.fp16 else jax.numpy.float32,
         bg_radius=opt.bg_radius,
         stochastic_hash_grad=opt.stochastic_hash_grad,
+        hash_level_stride=opt.hash_level_stride,
         dense_coarse=opt.dense_coarse,
     )
     model = NGPModel(

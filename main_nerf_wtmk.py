@@ -48,6 +48,7 @@ def main():
             compute_dtype=jax.numpy.bfloat16 if opt.fp16 else jax.numpy.float32,
             bg_radius=opt.bg_radius,
             stochastic_hash_grad=opt.stochastic_hash_grad,
+            hash_level_stride=opt.hash_level_stride,
             dense_coarse=opt.dense_coarse,
         ),
         message_dim=opt.message_dim,
@@ -106,8 +107,9 @@ def main():
         trainer.test_bitacc(make_loader("test", opt.n_views, opt.n_test_bitacc))
         if opt.attack_suite:
             from nerf_signature_tpu.train.attack import attack_sweep
-            attack_sweep(trainer, make_loader("test", opt.n_views, 50),
-                         n_test=50)
+            n_atk = getattr(opt, "n_test_attack", 50)
+            attack_sweep(trainer, make_loader("test", opt.n_views, n_atk),
+                         n_test=n_atk)
         # one train loader (pseudo-GT renders are expensive) shared by both
         # parameter-space attacks
         attack_loader = (

@@ -51,6 +51,13 @@ class NGPConfig:
     # table scatter updates, the train-step wall on TPU (PERF.md).  Off by
     # default for exact parity with the reference's gradients.
     stochastic_hash_grad: bool = False
+    # backward level subsampling ON TOP of stochastic corners: each sample
+    # scatters only every `hash_level_stride`-th level (pseudo-random phase,
+    # cotangent scaled by the stride — unbiased; gather-free selection).
+    # The hash-gradient scatter is ~44% of the train step (PERF.md round 3),
+    # so stride 2 removes ~half of the largest term.  1 = off (default).
+    # Only active when stochastic_hash_grad is on.
+    hash_level_stride: int = 1
     # tcnn-style dense storage for coarse levels (collision-free, spatially
     # ordered rows -> gather-engine locality; see ops.hashenc.level_sides).
     # Off by default: the reference's pure-torch encoder hashes every level,
@@ -149,6 +156,7 @@ def _encode_pos(params, cfg: NGPConfig, x):
         gather_dtype=jnp.dtype(cfg.compute_dtype).name,
         stochastic_grad=cfg.stochastic_hash_grad,
         dense_sides=cfg.dense_sides,
+        level_stride=cfg.hash_level_stride,
     )
 
 

@@ -135,7 +135,8 @@ def _make_gather_rows(T, F, table_dtype, gather_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_interp_stochastic(T, F, table_dtype, gather_dtype, n_corners):
+def _make_interp_stochastic(T, F, table_dtype, gather_dtype, n_corners,
+                            level_stride=1):
     """Exact-forward / stochastic-backward corner interpolation.
 
     Forward: the exact weighted sum over all corners (same numbers as the
@@ -156,17 +157,17 @@ def _make_interp_stochastic(T, F, table_dtype, gather_dtype, n_corners):
     ``stochastic_hash_grad=False``."""
 
     @jax.custom_vjp
-    def interp(table, table_g, idxs, cws, chosen_idx):
-        del table, chosen_idx
+    def interp(table, table_g, idxs, cws, chosen_idx, phase_bits):
+        del table, chosen_idx, phase_bits
         acc = None
         for c in range(n_corners):
             g = cws[c][..., None] * table_g[idxs[c]]
             acc = g if acc is None else acc + g
         return acc
 
-    def fwd(table, table_g, idxs, cws, chosen_idx):
-        out = interp(table, table_g, idxs, cws, chosen_idx)
-        return out, (chosen_idx, idxs, cws)
+    def fwd(table, table_g, idxs, cws, chosen_idx, phase_bits):
+        out = interp(table, table_g, idxs, cws, chosen_idx, phase_bits)
+        return out, (chosen_idx, phase_bits, idxs, cws)
 
     def fzero(x):
         # cotangent conventions: float0 for integer leaves, zeros for floats
@@ -175,17 +176,46 @@ def _make_interp_stochastic(T, F, table_dtype, gather_dtype, n_corners):
         return jnp.zeros_like(x)
 
     def bwd(res, ct):
-        chosen_idx, idxs, cws = res
+        chosen_idx, phase_bits, idxs, cws = res
         ct = ct.astype(table_dtype)
+        L = chosen_idx.shape[0]
+        if level_stride > 1 and L % level_stride == 0:
+            # Level subsampling ON TOP of corner subsampling: each sample
+            # scatters only every `level_stride`-th level, from a pseudo-
+            # random per-sample phase, with the cotangent scaled by the
+            # stride (unbiased: each level kept with probability 1/stride).
+            # Selection is GATHER-FREE — static strided slices per phase,
+            # blended by an elementwise per-sample select — so the entire
+            # saving (the scatter is the train step's largest term, ~44%,
+            # PERF.md round 3) lands.  The phase comes from remixed
+            # position-hash bits (``phase_bits`` = the corner-choice u_bits,
+            # which vary per sample AND per step via the marcher's t0
+            # jitter — a cell-stable source like the chosen row index would
+            # deterministically starve whole cells of gradient).
+            slice_i = [chosen_idx[p::level_stride] for p in range(level_stride)]
+            slice_c = [ct[p::level_stride] for p in range(level_stride)]
+            phase = ((phase_bits * jnp.uint32(2654435761)) >> jnp.uint32(13)
+                     ) % jnp.uint32(level_stride)
+            i_s = slice_i[0]
+            c_s = slice_c[0]
+            for p in range(1, level_stride):
+                keep = (phase == jnp.uint32(p))[None, :]
+                i_s = jnp.where(keep, slice_i[p], i_s)
+                c_s = jnp.where(keep[..., None], slice_c[p], c_s)
+            c_s = c_s * jnp.asarray(level_stride, table_dtype)
+            scatter_idx, scatter_ct = i_s, c_s
+        else:
+            scatter_idx, scatter_ct = chosen_idx, ct
         cols = []
         for f_ in range(F):
             acc = jnp.zeros((T,), table_dtype)
-            acc = acc.at[chosen_idx].add(ct[..., f_])
+            acc = acc.at[scatter_idx].add(scatter_ct[..., f_])
             cols.append(acc)
         g_table = jnp.stack(cols, -1)
         return (g_table, jnp.zeros((T, F), gather_dtype),
                 tuple(fzero(i) for i in idxs),
-                tuple(fzero(w) for w in cws), fzero(chosen_idx))
+                tuple(fzero(w) for w in cws), fzero(chosen_idx),
+                fzero(phase_bits))
 
     interp.defvjp(fwd, bwd)
     return interp
@@ -212,12 +242,13 @@ def _hash3(cx, cy, cz, log2_hashmap_size):
 @functools.partial(
     jax.jit,
     static_argnames=("log2_hashmap_size", "resolutions_key", "gather_dtype",
-                     "stochastic_grad", "shared_table", "dense_sides"),
+                     "stochastic_grad", "shared_table", "dense_sides",
+                     "level_stride"),
 )
 def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
                       resolutions_key, gather_dtype=None,
                       stochastic_grad=False, shared_table=False,
-                      dense_sides=None):
+                      dense_sides=None, level_stride=1):
     del resolutions_key  # keys the jit cache on the level config
     L = resolutions.shape[0]
     F = table.shape[-1]
@@ -315,9 +346,13 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
             chosen_idx = jnp.where(newly, idxs[c], chosen_idx)
             done = done | newly
         interp = _make_interp_stochastic(
-            table.shape[0], F, table.dtype.name, gd, 8
+            table.shape[0], F, table.dtype.name, gd, 8,
+            level_stride if L % max(level_stride, 1) == 0 else 1,
         )
-        acc = interp(table, table_g, tuple(idxs), tuple(cws), chosen_idx)
+        # phase bits for the (optional) backward level subsampling: the
+        # finest level's u_bits vary per sample and per step (t0 jitter)
+        acc = interp(table, table_g, tuple(idxs), tuple(cws), chosen_idx,
+                     u_bits[-1])
     else:
         gather_rows = _make_gather_rows(table.shape[0], F, table.dtype.name, gd)
         acc = jnp.zeros((L, M, F), table.dtype)
@@ -329,7 +364,8 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
 
 
 def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
-                stochastic_grad=False, shared_table=False, dense_sides=None):
+                stochastic_grad=False, shared_table=False, dense_sides=None,
+                level_stride=1):
     """Encode positions x in [0, 1]^3 -> [N, L*F] features.
 
     x: [N, 3] float; table: [L * 2**S, F]; resolutions: numpy array [L].

@@ -26,15 +26,43 @@ buffer heuristic (``raymarching/raymarching.py:198-216``): instead of randomly
 dropping whole rays on buffer overflow, we truncate the farthest samples of
 over-budget rays.  The trainer adapts S between compiles (power-of-two
 buckets) from the measured mean occupied count, mirroring ``mean_count``.
+
+Coarse pre-filter (round-3 perf work; the analogue of the reference's
+empty-space *skip* doing useful work instead of being flattened into the
+candidate grid):  the [N, T] fine occupancy gather is the step's second
+largest term once sample compaction shrinks the field (67 ms at [4096, 1024]
+on the relay'd v5e, and it does NOT shrink with scene convergence).  We pool
+the fine grid to a dilated 64^3 coarse grid (256 KB; the gather engine is
+index-rate-bound, not table-size-bound — measured 117 vs 123 M idx/s for
+32 KB vs 8 MB tables — so a finer coarse grid costs nothing and halves
+false-positive groups), test ONE midpoint candidate per group of 4, compact
+to the first ``group_budget`` coarse-occupied groups with the same
+cumsum-rank+scatter primitive, and run the fine gather + downstream
+compaction only on the surviving ``group_budget * group`` candidates.  Dilation of the coarse grid
+by ``ceil(group_span / coarse_cell)`` cells makes the midpoint test
+conservative (a coarse miss PROVES every candidate in the group is in empty
+fine cells), so the selected fine candidate set is exact; the only
+approximation is the group-budget truncation, which has the same semantics
+as the sample budget itself (drop the farthest).  With gamma == 0 the
+candidate t-grid is closed-form, so the pre-filtered path never materialises
+[N, T] anything — all per-candidate work runs at [N, group_budget * group].
 """
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 SQRT3 = 1.7320508075688772
+
+# A/B + tuning knobs, resolved at trace time (scripts_dev/ab_step.py measures
+# them on the chip): NGP_MARCH_PREFILTER in {auto, 0, 1}; NGP_MARCH_GROUP and
+# NGP_MARCH_GROUP_BUDGET override the static defaults.
+_PREFILTER_ENV = os.environ.get("NGP_MARCH_PREFILTER", "auto")
+_GROUP_ENV = os.environ.get("NGP_MARCH_GROUP")
+_GROUP_BUDGET_ENV = os.environ.get("NGP_MARCH_GROUP_BUDGET")
 
 
 def dt_bounds(max_steps, cascade, grid_size):
@@ -72,10 +100,87 @@ def _candidate_ts(t0, n_cand, dt_min, dt_max, dt_gamma):
     return ts.T, dts.T  # scan stacks on axis 0 -> [T, N] -> transpose
 
 
+def coarse_occupancy(occupancy, factor):
+    """Pool [C, H, H, H] bool fine occupancy to [C, H/f, H/f, H/f] by OR.
+
+    A coarse cell is occupied iff ANY fine cell inside it is — the
+    conservative direction for the pre-filter.
+    """
+    C, H = occupancy.shape[0], occupancy.shape[1]
+    Hc = H // factor
+    return (
+        occupancy.reshape(C, Hc, factor, Hc, factor, Hc, factor)
+        .any(axis=(2, 4, 6))
+    )
+
+
+def dilate_occupancy(coarse, dil):
+    """OR-dilate [C, Hc, Hc, Hc] bool by ``dil`` cells per axis (max pool,
+    SAME padding) so a lookup at one cell covers all cells within ``dil``."""
+    if dil <= 0:
+        return coarse
+    k = 2 * dil + 1
+    return jax.lax.reduce_window(
+        coarse, False, jax.lax.bitwise_or,
+        window_dimensions=(1, k, k, k),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    )
+
+
+def _cells_and_levels(pos, dts, C, H, bound):
+    """Grid-cell flat indices for per-axis positions ``pos`` (list of 3
+    arrays), with the reference's mip-level selection when C > 1
+    (``raymarching.cu:42-54,374-376``).  Returns (flat_idx, level)."""
+    if C == 1:
+        level = None
+        mip_bound = jnp.float32(min(1.0, bound))
+    else:
+        mx = jnp.maximum(jnp.abs(pos[0]),
+                         jnp.maximum(jnp.abs(pos[1]), jnp.abs(pos[2])))
+        e_pos = jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30))) + 1.0
+        e_dt = jnp.floor(jnp.log2(jnp.maximum(dts * H * 0.5, 1e-30))) + 1.0
+        level = jnp.clip(jnp.maximum(e_pos, e_dt), 0, C - 1).astype(jnp.int32)
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+
+    cell = [
+        jnp.clip(0.5 * (p / mip_bound + 1.0) * H, 0.0, H - 1).astype(jnp.int32)
+        for p in pos
+    ]
+    flat_idx = (cell[0] * H + cell[1]) * H + cell[2]
+    if level is not None:
+        flat_idx = level * (H * H * H) + flat_idx
+    return flat_idx, level
+
+
+def _select_first(occ, idx_vals, budget):
+    """Keep the first ``budget`` True positions per ray, in order.
+
+    Selection by cumsum-rank + ONE scatter: True position i with rank
+    cumsum(occ)[i]-1 < budget goes to output slot rank; everything else lands
+    in a discarded scratch slot.  Replaces a ``lax.top_k`` over [N, T] (a
+    sort network: 518 ms at [4096, 1024] on v5e) with a cheap int cumsum + a
+    scatter — same output, in-order and deterministic.
+
+    Returns (sel [N, budget] values from idx_vals, n_true [N]).
+    """
+    N = occ.shape[0]
+    rank = jnp.cumsum(occ.astype(jnp.int32), axis=-1) - 1
+    dst = jnp.where(occ & (rank < budget), rank, budget)  # budget = scratch
+    sel = (
+        jnp.full((N, budget + 1), 0, jnp.int32)
+        .at[jnp.arange(N)[:, None], dst]
+        .set(jnp.broadcast_to(idx_vals, occ.shape), mode="drop")
+    )[:, :budget]
+    n_true = jnp.sum(occ.astype(jnp.int32), axis=-1)
+    return sel, n_true
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bound", "dt_gamma", "max_steps", "n_cand", "budget",
-                     "grid_size"),
+                     "grid_size", "prefilter", "group", "coarse_factor",
+                     "group_budget"),
 )
 def march_rays(
     rays_o,
@@ -91,6 +196,10 @@ def march_rays(
     budget=128,
     grid_size=128,
     perturb_key=None,
+    prefilter=None,
+    group=4,
+    coarse_factor=2,
+    group_budget=None,
 ):
     """March N rays through the occupancy grid with a fixed sample budget.
 
@@ -103,6 +212,19 @@ def march_rays(
       n_cand: candidate-grid length; default ``num_candidates(...)``.
       perturb_key: optional PRNG key; jitters t0 by U[0,1)*dt like the
         reference's ``noises`` (``raymarching.cu:351``).
+      prefilter: coarse empty-space pre-filter.  None = auto (on whenever it
+        shrinks the fine gather); True/False forces.  With the pre-filter,
+        ``n_occupied`` counts occupied candidates only within the first
+        ``group_budget`` coarse-occupied groups (capped at
+        ``group_budget * group`` — still >= 4x the sample budget by default,
+        plenty of signal for the trainer's budget adaptation).
+      group: candidates per coarse-tested group.
+      coarse_factor: fine-to-coarse pooling factor (128 -> 64 by default;
+        factor 4 doubles coarse false-positives near surfaces — measured
+        10.5% sample loss at group_budget 64 vs 1% at factor 2).
+      group_budget: max coarse-occupied groups kept per ray (default
+        ``max(64, budget // 2)`` — the surviving candidate set is 2x the
+        sample budget).
 
     Returns dict(xyzs [N,S,3], dirs [N,S,3], deltas [N,S], ts [N,S],
                  mask [N,S] bool, n_occupied [N] int32).
@@ -115,58 +237,163 @@ def march_rays(
 
     dt_min, dt_max = dt_bounds(max_steps, C, grid_size)
 
+    if _GROUP_ENV:
+        group = int(_GROUP_ENV)
+    if group_budget is None:
+        # budget//2 groups hold up to 2x budget fine candidates; on surface
+        # scenes the measured sample loss vs the full march is ~1% of samples
+        # on ~2% of rays at coarse_factor 2 (the same truncate-the-farthest
+        # class as the budget itself; scripts_dev probe in PERF.md).  Small
+        # budgets clamp to >= 64 groups, which n_groups-clamps to exact on
+        # test-scale shapes.
+        group_budget = (int(_GROUP_BUDGET_ENV) if _GROUP_BUDGET_ENV
+                        else max(64, budget // 2))
+    n_groups = n_cand // group
+    group_budget = min(group_budget, n_groups)
+    if prefilter is None and _PREFILTER_ENV != "auto":
+        prefilter = _PREFILTER_ENV == "1"
+    if prefilter is None:
+        # on when it shrinks the fine-gather population and the coarse grid
+        # has enough resolution to discriminate (Hc >= 16)
+        prefilter = (
+            n_cand % group == 0
+            and group_budget * group < n_cand
+            and H % coarse_factor == 0
+            and H // coarse_factor >= 16
+        )
+    prefilter = (prefilter and n_cand % group == 0
+                 and H % coarse_factor == 0 and H // coarse_factor >= 2)
+
     t0 = nears
     if perturb_key is not None:
         noise = jax.random.uniform(perturb_key, (N,), dtype=t0.dtype)
         t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
 
-    ts, dts = _candidate_ts(t0, n_cand, dt_min, dt_max, dt_gamma)  # [N, T]
-    valid = ts < fars[:, None]
+    def gather_occ_at(cand_idx, ts_c, dts_c):
+        """Fine-grid occupancy at candidate positions. cand_idx [N, K]."""
+        pos = [
+            jnp.clip(
+                rays_o[:, a : a + 1] + ts_c * rays_d[:, a : a + 1],
+                -bound, bound,
+            )
+            for a in range(3)
+        ]
+        flat_idx, _ = _cells_and_levels(pos, dts_c, C, H, bound)
+        return occupancy.reshape(-1)[flat_idx]
 
-    # per-axis positions [N, T] (a stacked [N, T, 3] would be padded 42x by
-    # TPU register tiling; see ops/hashenc.py)
-    pos = [
-        jnp.clip(rays_o[:, a : a + 1] + ts * rays_d[:, a : a + 1], -bound, bound)
-        for a in range(3)
-    ]
-
-    if C == 1:
-        level = None
-        mip_bound = jnp.float32(min(1.0, bound))
+    if not prefilter:
+        ts, dts = _candidate_ts(t0, n_cand, dt_min, dt_max, dt_gamma)
+        cand = jnp.broadcast_to(
+            jnp.arange(n_cand, dtype=jnp.int32)[None, :], (N, n_cand)
+        )
+        cand_extra_valid = True
     else:
-        mx = jnp.maximum(jnp.abs(pos[0]),
-                         jnp.maximum(jnp.abs(pos[1]), jnp.abs(pos[2])))
-        e_pos = jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30))) + 1.0
-        e_dt = jnp.floor(jnp.log2(jnp.maximum(dts * H * 0.5, 1e-30))) + 1.0
-        level = jnp.clip(jnp.maximum(e_pos, e_dt), 0, C - 1).astype(jnp.int32)
-        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+        Hc = H // coarse_factor
+        # Conservative dilation: within one group, candidates sit at most
+        # group * dt(step) of metric distance from the tested midpoint, i.e.
+        # at most ceil(span * Hc / (2 * mip_bound)) coarse cells away.  The
+        # worst case is mip level 0 (mip_bound 1).  Pooling already absorbs
+        # sub-cell offsets; dilation absorbs cell-boundary crossings.
+        span = group * (dt_min if dt_gamma == 0 else dt_max)
+        dil = max(1, int(math.ceil(span * Hc / 2.0)))
+        coarse = dilate_occupancy(
+            coarse_occupancy(occupancy, coarse_factor), dil
+        )
 
-    # nearest cell, ref ``raymarching.cu:374-376``
-    cell = [
-        jnp.clip(0.5 * (p / mip_bound + 1.0) * H, 0.0, H - 1).astype(jnp.int32)
-        for p in pos
-    ]
-    flat_idx = (cell[0] * H + cell[1]) * H + cell[2]
-    if level is not None:
-        flat_idx = level * (H * H * H) + flat_idx
-    occ = occupancy.reshape(-1)[flat_idx] & valid  # [N, T] bool
+        mid_off = group // 2
+        if dt_gamma == 0:
+            ts_mid = t0[:, None] + (
+                jnp.arange(n_groups, dtype=t0.dtype) * group + mid_off
+            )[None, :] * dt_min
+            dts_mid = jnp.full_like(ts_mid, dt_min)
+            ts_first = t0[:, None] + (
+                jnp.arange(n_groups, dtype=t0.dtype) * group
+            )[None, :] * dt_min
+        else:
+            ts_all, dts_all = _candidate_ts(t0, n_cand, dt_min, dt_max, dt_gamma)
+            ts_mid = ts_all[:, mid_off::group]
+            dts_mid = dts_all[:, mid_off::group]
+            ts_first = ts_all[:, ::group]
 
-    n_occupied = jnp.sum(occ.astype(jnp.int32), axis=-1)
+        pos_mid = [
+            jnp.clip(
+                rays_o[:, a : a + 1] + ts_mid * rays_d[:, a : a + 1],
+                -bound, bound,
+            )
+            for a in range(3)
+        ]
+        if C == 1:
+            mb = jnp.float32(min(1.0, bound))
+            cell = [
+                jnp.clip(0.5 * (p / mb + 1.0) * Hc, 0.0, Hc - 1).astype(
+                    jnp.int32
+                )
+                for p in pos_mid
+            ]
+            gidx = (cell[0] * Hc + cell[1]) * Hc + cell[2]
+            group_occ = coarse.reshape(-1)[gidx]
+        else:
+            # the per-candidate mip level can drift +-1 from the midpoint's
+            # within one group (e_pos/e_dt each cross at most one log2
+            # boundary over the group span) -> check all three levels, each
+            # in its own normalised coords
+            mx = jnp.maximum(
+                jnp.abs(pos_mid[0]),
+                jnp.maximum(jnp.abs(pos_mid[1]), jnp.abs(pos_mid[2])),
+            )
+            e_pos = jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30))) + 1.0
+            e_dt = jnp.floor(
+                jnp.log2(jnp.maximum(dts_mid * H * 0.5, 1e-30))
+            ) + 1.0
+            lmid = jnp.clip(
+                jnp.maximum(e_pos, e_dt), 0, C - 1
+            ).astype(jnp.int32)
+            flat = coarse.reshape(-1)
+            group_occ = jnp.zeros(ts_mid.shape, bool)
+            for dl in (-1, 0, 1):
+                lv = jnp.clip(lmid + dl, 0, C - 1)
+                mb = jnp.minimum(jnp.exp2(lv.astype(jnp.float32)), bound)
+                cell = [
+                    jnp.clip(0.5 * (p / mb + 1.0) * Hc, 0.0, Hc - 1).astype(
+                        jnp.int32
+                    )
+                    for p in pos_mid
+                ]
+                gidx = lv * (Hc * Hc * Hc) + (cell[0] * Hc + cell[1]) * Hc + cell[2]
+                group_occ = group_occ | flat[gidx]
 
-    # keep the first `budget` occupied candidates per ray, in order.
-    # Selection by cumsum-rank + ONE scatter: occupied candidate i with rank
-    # cumsum(occ)[i]-1 < S goes to output slot rank; everything else lands in
-    # a discarded scratch slot.  Replaces a ``lax.top_k`` over [N, T] (a sort
-    # network: 518 ms at [4096, 1024] on v5e) with a cheap int cumsum + a
-    # [N, T] scatter — same output, in-order and deterministic.
-    steps_i = jnp.arange(n_cand, dtype=jnp.int32)
-    rank = jnp.cumsum(occ.astype(jnp.int32), axis=-1) - 1  # [N, T]
-    dst = jnp.where(occ & (rank < budget), rank, budget)   # budget = scratch
-    sel = (
-        jnp.full((N, budget + 1), 0, jnp.int32)
-        .at[jnp.arange(N)[:, None], dst]
-        .set(jnp.broadcast_to(steps_i[None, :], (N, n_cand)), mode="drop")
-    )[:, :budget]
+        group_occ = group_occ & (ts_first < fars[:, None])
+        sel_g, n_g = _select_first(
+            group_occ, jnp.arange(n_groups, dtype=jnp.int32)[None, :],
+            group_budget,
+        )
+        gmask = jnp.arange(group_budget, dtype=jnp.int32)[None, :] < jnp.minimum(
+            n_g, group_budget
+        )[:, None]
+        # expand groups -> candidate indices [N, group_budget * group]
+        cand = (
+            sel_g[:, :, None] * group
+            + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+        ).reshape(N, group_budget * group)
+        cand_extra_valid = jnp.repeat(gmask, group, axis=-1)
+
+        if dt_gamma == 0:
+            ts = t0[:, None] + cand.astype(t0.dtype) * dt_min
+            dts = jnp.full_like(ts, dt_min)
+        else:
+            ts = jnp.take_along_axis(ts_all, cand, axis=-1)
+            dts = jnp.take_along_axis(dts_all, cand, axis=-1)
+
+    valid = (ts < fars[:, None]) & cand_extra_valid
+    occ = gather_occ_at(cand, ts, dts) & valid  # [N, K] bool
+
+    # keep the first `budget` occupied candidates per ray, in order (the
+    # candidate sequence is ascending in both paths: groups are selected in
+    # ascending order and expanded in order)
+    pos_in_row = jnp.broadcast_to(
+        jnp.arange(occ.shape[1], dtype=jnp.int32)[None, :], occ.shape
+    )
+    sel, n_occupied = _select_first(occ, pos_in_row, budget)
     mask = jnp.arange(budget, dtype=jnp.int32)[None, :] < jnp.minimum(
         n_occupied, budget
     )[:, None]

@@ -23,6 +23,7 @@ TPU-native: both the attacker step (render + image loss + grad + update +
 ball projection) and the sweep evaluation are single jitted programs.
 """
 
+import dataclasses
 import functools
 import time
 
@@ -101,10 +102,16 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     # path and the HLO stays small — the same structure that makes
     # _wtmk_decode_blocks_batched fit.  Blocks stay on device between the
     # two dispatches.
+    # block renders are evaluated UNCOMPACTED (exact) — see
+    # WatermarkTrainer._rc_eval: key-block rays have far higher sample fill
+    # than the content rays that size auto compaction, and overflow drops
+    # samples silently
+    rc_eval = dataclasses.replace(m.rc, compact_frac=0.0)
+
     def decode_batch(messages, keys, attack):
         blocks = _attack_render_batch(
             m.backbone, m.trainable, m.occ.occupancy, rays_o_b, rays_d_b,
-            messages, m.wcfg, m.rc, m.infer_budget,
+            messages, m.wcfg, rc_eval, m.infer_budget,
         )
         return _attack_decode_batch(
             m.trainable["decoder"], blocks, keys, m.wcfg, attack

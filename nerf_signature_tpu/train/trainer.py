@@ -361,23 +361,34 @@ class Trainer:
 
     def _adapt_budget(self, n_occ):
         """mean_count analog: fit the static march budget to the scene
-        (power-of-two buckets, hysteresis, ref ``raymarching.py:198-216``)."""
+        (power-of-two buckets, hysteresis, ref ``raymarching.py:198-216``).
+
+        Target-seeking and SYMMETRIC: the target bucket is the smallest
+        power of two >= p95(n_occ), and the budget moves one bucket toward
+        it after 2 consecutive agreeing checks.  The earlier band
+        (raise at p95 > b, lower only at p95 < b/4) was path-dependent:
+        the pre-prune fog phase drives p95 past 600 and the budget to
+        1024, and a converged p95 of ~250 then parks it at 512 — 4x the
+        per-step cost of the 256 bucket the same scene settles to when
+        approached from below."""
         p95 = float(np.percentile(np.asarray(n_occ), 95))
         b = self.model.train_budget
-        if p95 > b and b < self.opt.max_steps:
-            self._budget_hysteresis += 1
-            if self._budget_hysteresis >= 2:
-                self.model.train_budget = min(b * 2, self.opt.max_steps)
-                self._budget_hysteresis = 0
-                self.log(f"[budget] raise march budget -> {self.model.train_budget}")
-        elif p95 < b // 4 and b > 32:
-            self._budget_hysteresis -= 1
-            if self._budget_hysteresis <= -2:
-                self.model.train_budget = b // 2
-                self._budget_hysteresis = 0
-                self.log(f"[budget] lower march budget -> {self.model.train_budget}")
+        target = 1 << max(5, int(np.ceil(np.log2(max(p95, 1.0)))))
+        target = min(target, self.opt.max_steps)
+        if target > b:
+            self._budget_hysteresis = max(self._budget_hysteresis, 0) + 1
+        elif target < b:
+            self._budget_hysteresis = min(self._budget_hysteresis, 0) - 1
         else:
             self._budget_hysteresis = 0
+        if self._budget_hysteresis >= 2:
+            self.model.train_budget = min(b * 2, self.opt.max_steps)
+            self._budget_hysteresis = 0
+            self.log(f"[budget] raise march budget -> {self.model.train_budget}")
+        elif self._budget_hysteresis <= -2:
+            self.model.train_budget = max(b // 2, 32)
+            self._budget_hysteresis = 0
+            self.log(f"[budget] lower march budget -> {self.model.train_budget}")
 
     # ----------------------------------------------------------------- train
     def _make_clip_step(self, H, W):

@@ -24,6 +24,7 @@ losses + Adam) step is ONE jitted program; block rays are a static
 [D, bh, bw, 3] tensor so every step reuses the same executable.
 """
 
+import dataclasses
 import functools
 import os
 import time
@@ -827,13 +828,25 @@ class WatermarkTrainer:
             pass
 
     # ------------------------------------------------------------------ eval
+    def _rc_eval(self):
+        """Block-decode evals run UNCOMPACTED.  Sample compaction is sized by
+        ``resolve_auto_compaction`` from a CONTENT-ray probe (full-view rays,
+        most of which miss geometry); key-block rays are concentrated on
+        textured surfaces with far higher fill, so rendering blocks through
+        that compaction silently drops overflow samples and corrupts the
+        decode.  This was the in-train (0.933) vs fresh-process (0.9987)
+        bit-acc discrepancy: the ``--test`` CLI never resolves auto
+        compaction, so it always decoded exactly.  Exactness > speed here —
+        a block render is only D * bh * bw rays."""
+        return dataclasses.replace(self.model.rc, compact_frac=0.0)
+
     def eval_blocks(self, wm, message, distortion=None):
         m = self.model
         ro_b, rd_b = self._wm_rays(wm)
         blocks, decoded = _wtmk_decode_blocks(
             m.backbone, m.trainable, m.occ.occupancy,
             jnp.asarray(ro_b), jnp.asarray(rd_b),
-            jnp.asarray(message), m._next_key(), m.wcfg, m.rc,
+            jnp.asarray(message), m._next_key(), m.wcfg, self._rc_eval(),
             m.infer_budget, distortion or self.distortion,
         )
         return np.asarray(blocks), np.asarray(decoded)
@@ -894,8 +907,8 @@ class WatermarkTrainer:
             keys = jax.random.split(m._next_key(), batch)
             decoded = np.asarray(_wtmk_decode_blocks_batched(
                 m.backbone, m.trainable, m.occ.occupancy, ro_b, rd_b,
-                jnp.asarray(messages), keys, m.wcfg, m.rc, m.infer_budget,
-                self.distortion,
+                jnp.asarray(messages), keys, m.wcfg, self._rc_eval(),
+                m.infer_budget, self.distortion,
             ))
             for b in range(use):
                 meter.update(decoded[b].reshape(-1), messages[b])

@@ -82,6 +82,11 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="exact-forward, one-corner unbiased-stochastic "
                              "hash-table gradients (~8x fewer scatter "
                              "updates, the TPU train-step wall; see PERF.md)")
+    parser.add_argument("--hash_level_stride", type=int, default=1,
+                        help="backward hash-gradient level subsampling "
+                             "stride (1=off; 2 scatters every other level "
+                             "per sample, unbiased — needs "
+                             "--stochastic_hash_grad)")
     parser.add_argument("--dense_coarse", action="store_true",
                         help="tcnn-style dense (collision-free, spatially "
                              "ordered) storage for coarse hash levels — "
@@ -154,6 +159,8 @@ def add_wtmk_args(parser: argparse.ArgumentParser):
     parser.add_argument("--bitacc_batch", type=int, default=8,
                         help="messages per dispatch in test_bitacc (vmapped "
                              "whole render+decode; 1 = sequential)")
+    parser.add_argument("--n_test_attack", type=int, default=50,
+                        help="messages per attack in --attack_suite sweeps")
     parser.add_argument("--pseudo_gt_cache", type=str, default=None,
                         help="npz path caching the rendered pseudo-GT pool "
                              "across CLI invocations (fingerprinted against "

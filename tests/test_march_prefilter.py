@@ -1,0 +1,148 @@
+"""Coarse pre-filter march must select the SAME samples as the full march.
+
+The pre-filter (ops/marching.py) is a perf transform: a dilated 32^3 coarse
+occupancy test per 4-candidate group, group compaction, then fine gather on
+survivors only.  Its contract is exactness — a coarse miss must PROVE the
+whole group is fine-empty — up to the group-budget truncation, which these
+tests isolate by granting the full group budget where exactness is asserted.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_signature_tpu.ops.intersect import near_far_from_aabb
+from nerf_signature_tpu.ops.marching import march_rays, num_candidates
+
+
+def _rand_rays(rng, n, bound):
+    # origins on a sphere outside the box, aimed at jittered interior points
+    o = rng.normal(size=(n, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * (bound * 2.0)
+    target = rng.uniform(-bound * 0.5, bound * 0.5, size=(n, 3))
+    d = target - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def _ball_occupancy(C, H, frac_extra=0.0, seed=0):
+    """A centred ball per level plus optional random speckle."""
+    rng = np.random.default_rng(seed)
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r2 = X * X + Y * Y + Z * Z
+    occ = np.zeros((C, H, H, H), bool)
+    for lv in range(C):
+        occ[lv] = r2 < (0.45 - 0.1 * lv) ** 2
+    if frac_extra:
+        occ |= rng.random((C, H, H, H)) < frac_extra
+    return jnp.asarray(occ)
+
+
+def _march(occ, o, d, bound, **kw):
+    aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+    return march_rays(o, d, occ, nears, fars, bound=bound, **kw)
+
+
+def _assert_same(a, b):
+    np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
+    m = np.asarray(a["mask"])
+    for k in ("ts", "deltas"):
+        np.testing.assert_allclose(
+            np.asarray(a[k])[m], np.asarray(b[k])[m], rtol=0, atol=0
+        )
+    np.testing.assert_allclose(
+        np.asarray(a["xyzs"])[m], np.asarray(b["xyzs"])[m], rtol=0, atol=0
+    )
+
+
+@pytest.mark.parametrize("cascade,bound", [(1, 1.0), (2, 2.0)])
+def test_prefilter_exact_full_group_budget(cascade, bound):
+    rng = np.random.default_rng(1)
+    H, steps, budget = 64, 256, 32
+    occ = _ball_occupancy(cascade, H, frac_extra=0.01, seed=2)
+    o, d = _rand_rays(rng, 64, bound)
+    n_cand = num_candidates(bound, steps, 0.0)
+    kw = dict(max_steps=steps, grid_size=H, budget=budget)
+    full = _march(occ, o, d, bound, prefilter=False, **kw)
+    pre = _march(occ, o, d, bound, prefilter=True,
+                 group_budget=n_cand // 4, **kw)
+    _assert_same(full, pre)
+    # with the full group budget nothing is truncated -> n_occupied matches
+    np.testing.assert_array_equal(
+        np.asarray(full["n_occupied"]), np.asarray(pre["n_occupied"])
+    )
+
+
+def test_prefilter_exact_default_budget_sparse_scene():
+    # a compact surface: occupied groups per ray << default group budget, so
+    # even the default (group_budget = budget) path is exact
+    rng = np.random.default_rng(3)
+    H, steps, budget = 64, 256, 64
+    occ = _ball_occupancy(1, H)
+    o, d = _rand_rays(rng, 128, 1.0)
+    kw = dict(max_steps=steps, grid_size=H, budget=budget)
+    full = _march(occ, o, d, 1.0, prefilter=False, **kw)
+    pre = _march(occ, o, d, 1.0, **kw)  # auto -> prefilter on
+    _assert_same(full, pre)
+
+
+def test_prefilter_exact_dt_gamma():
+    rng = np.random.default_rng(4)
+    H, steps, budget = 64, 256, 32
+    occ = _ball_occupancy(1, H, frac_extra=0.005, seed=5)
+    o, d = _rand_rays(rng, 64, 1.0)
+    kw = dict(max_steps=steps, grid_size=H, budget=budget, dt_gamma=1 / 128)
+    full = _march(occ, o, d, 1.0, prefilter=False, **kw)
+    pre = _march(occ, o, d, 1.0, prefilter=True, group_budget=steps // 4, **kw)
+    _assert_same(full, pre)
+
+
+def test_prefilter_perturb_matches():
+    rng = np.random.default_rng(6)
+    H, steps, budget = 64, 256, 32
+    occ = _ball_occupancy(1, H)
+    o, d = _rand_rays(rng, 32, 1.0)
+    key = jax.random.PRNGKey(7)
+    kw = dict(max_steps=steps, grid_size=H, budget=budget, perturb_key=key)
+    full = _march(occ, o, d, 1.0, prefilter=False, **kw)
+    pre = _march(occ, o, d, 1.0, prefilter=True,
+                 group_budget=steps * 1 // 4, **kw)
+    _assert_same(full, pre)
+
+
+def test_prefilter_group_budget_truncates_farthest():
+    # dense speckle: more coarse-occupied groups than the group budget; the
+    # prefiltered march must still return a prefix (the NEAREST samples) of
+    # the full march's selection
+    rng = np.random.default_rng(8)
+    H, steps, budget = 64, 256, 16
+    occ = _ball_occupancy(1, H, frac_extra=0.2, seed=9)
+    o, d = _rand_rays(rng, 32, 1.0)
+    kw = dict(max_steps=steps, grid_size=H, budget=budget)
+    full = _march(occ, o, d, 1.0, prefilter=False, **kw)
+    pre = _march(occ, o, d, 1.0, prefilter=True, group_budget=8, **kw)
+    fm, pm = np.asarray(full["mask"]), np.asarray(pre["mask"])
+    fts, pts = np.asarray(full["ts"]), np.asarray(pre["ts"])
+    assert pm.sum() <= fm.sum()
+    for i in range(fm.shape[0]):
+        k = pm[i].sum()
+        assert (pm[i][:k]).all() and not pm[i][k:].any()
+        np.testing.assert_allclose(pts[i][:k], fts[i][:k])
+    # n_occupied is capped by the surviving candidate count
+    assert (np.asarray(pre["n_occupied"]) <= 8 * 4).all()
+
+
+def test_prefilter_empty_and_full_grids():
+    rng = np.random.default_rng(10)
+    H, steps, budget = 64, 256, 16
+    o, d = _rand_rays(rng, 16, 1.0)
+    kw = dict(max_steps=steps, grid_size=H, budget=budget)
+    for fill in (False, True):
+        occ = jnp.full((1, H, H, H), fill)
+        full = _march(occ, o, d, 1.0, prefilter=False, **kw)
+        pre = _march(occ, o, d, 1.0, prefilter=True,
+                     group_budget=steps // 4, **kw)
+        _assert_same(full, pre)

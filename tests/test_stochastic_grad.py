@@ -58,3 +58,46 @@ class TestStochasticHashGrad:
         g = jax.grad(loss)(table)
         assert g.dtype == jnp.float32
         assert float(jnp.abs(g).sum()) > 0
+
+    def test_level_stride_unbiased_aggregate(self):
+        """Backward level subsampling (hash_level_stride=2): forward exact,
+        aggregate gradient over many samples ~ the exact gradient (each
+        level kept with probability 1/stride, cotangent scaled by stride)."""
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        table = init_hash_table(k1, 2, 2, S)
+        x = jax.random.uniform(k2, (50_000, 3))
+
+        fwd_a = hash_encode(x, table, RES, S, stochastic_grad=True)
+        fwd_b = hash_encode(x, table, RES, S, stochastic_grad=True,
+                            level_stride=2)
+        np.testing.assert_allclose(np.asarray(fwd_a), np.asarray(fwd_b),
+                                   atol=1e-7)
+
+        def loss(t, stride):
+            return jnp.sum(hash_encode(x, t, RES, S, stochastic_grad=True,
+                                       level_stride=stride))
+
+        g_exact = np.asarray(
+            jax.grad(lambda t: jnp.sum(hash_encode(x, t, RES, S)))(table))
+        g_sub = np.asarray(jax.grad(lambda t: loss(t, 2))(table))
+        a, b = g_exact.ravel(), g_sub.ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.97, cos
+        # expected mass conserved (per-level-pair selection is fair-ish at
+        # 50k samples; stride scaling restores the total)
+        np.testing.assert_allclose(a.sum(), b.sum(), rtol=5e-2)
+
+    def test_level_stride_covers_both_phases(self):
+        """Both level-parity classes receive gradient mass (the phase source
+        must vary per sample, not per cell)."""
+        key = jax.random.PRNGKey(4)
+        table = init_hash_table(key, 2, 2, S)
+        x = jax.random.uniform(key, (4096, 3))
+
+        g = np.asarray(jax.grad(
+            lambda t: jnp.sum(hash_encode(x, t, RES, S, stochastic_grad=True,
+                                          level_stride=2))
+        )(table))
+        per_level = np.abs(g).reshape(2, -1).sum(axis=1)
+        assert (per_level > 0).all(), per_level
