@@ -364,16 +364,23 @@ class Trainer:
         (power-of-two buckets, hysteresis, ref ``raymarching.py:198-216``).
 
         Target-seeking and SYMMETRIC: the target bucket is the smallest
-        power of two >= p95(n_occ), and the budget moves one bucket toward
-        it after 2 consecutive agreeing checks.  The earlier band
-        (raise at p95 > b, lower only at p95 < b/4) was path-dependent:
-        the pre-prune fog phase drives p95 past 600 and the budget to
-        1024, and a converged p95 of ~250 then parks it at 512 — 4x the
-        per-step cost of the 256 bucket the same scene settles to when
-        approached from below."""
-        p95 = float(np.percentile(np.asarray(n_occ), 95))
+        power of two >= 1.5 * mean(n_occ), and the budget moves one bucket
+        toward it after 2 consecutive agreeing checks.  Two measured
+        failure modes this rule fixes:
+          * the round-2 band (raise at stat > b, lower only at stat < b/4)
+            was path-dependent — the pre-prune fog phase drove the budget
+            up and a converged scene then parked 2 buckets above where it
+            settles when approached from below;
+          * a p95 target (round-3 first attempt) provisions for the 5%
+            grazing-geometry rays and parked the multiobj scene at 512
+            (mean 54!) for a ~2.5x step cost with no measured quality
+            gain — the reference's own heuristic is the MEAN
+            (``mean_count``, raymarching.py:198-216), and 1.5x headroom
+            resolves the LLFF saturation case (mean 273 -> bucket 512)
+            that motivated p95."""
+        mean = float(np.asarray(n_occ).mean())
         b = self.model.train_budget
-        target = 1 << max(5, int(np.ceil(np.log2(max(p95, 1.0)))))
+        target = 1 << max(5, int(np.ceil(np.log2(max(1.5 * mean, 1.0)))))
         target = min(target, self.opt.max_steps)
         if target > b:
             self._budget_hysteresis = max(self._budget_hysteresis, 0) + 1
@@ -628,12 +635,16 @@ class Trainer:
             )
             self.log_metrics(loss=float(losses.mean()), rays_per_sec=rays_s,
                              mean_occ=float(mean_occ),
+                             occ_p95=float(occ_p95),
                              train_budget=m.train_budget)
             self._adapt_compaction(float(mean_occ))
             # march-budget adaptation in the scan path too (the LLFF r2
             # finding: forward-facing scenes saturate the static budget and
-            # starve surfaces when only the per-step path adapts)
-            self._adapt_budget(float(occ_p95))
+            # starve surfaces when only the per-step path adapts).  Feed the
+            # MEAN — _adapt_budget targets 1.5x mean (mean_count parity);
+            # feeding occ_p95 here parked the multiobj campaign at a 512
+            # budget (mean 54) for ~2.5x step cost.
+            self._adapt_budget(float(mean_occ))
             start = time.time()
             self.epoch += 1
             # checkpoint periodically, NOT per dispatch: a full save fetches
