@@ -79,6 +79,15 @@ def main():
     keyposes = os.path.join(opt.workspace, "key_poses.npy")
     keyblocks = os.path.join(opt.workspace, "key_blocks.npy")
 
+    # pseudo-GT disk cache defaults into the workspace: the self-distillation
+    # pool is a full render of every train view through the frozen backbone
+    # (~13 min at headline scale through the relay), and the fingerprint
+    # check already invalidates it when the backbone/poses change — there is
+    # no reason to re-render it on every relaunch/resume.
+    if opt.pseudo_gt_cache is None and opt.workspace:
+        os.makedirs(opt.workspace, exist_ok=True)
+        opt.pseudo_gt_cache = os.path.join(opt.workspace, "pseudo_gt.npz")
+
     def make_loader(type, n_views, n_test, fresh_keys=False):
         return NeRFDatasetDisen(
             opt,
