@@ -57,12 +57,13 @@ import jax.numpy as jnp
 
 SQRT3 = 1.7320508075688772
 
-# A/B + tuning knobs, resolved at trace time (scripts_dev/ab_step.py measures
-# them on the chip): NGP_MARCH_PREFILTER in {auto, 0, 1}; NGP_MARCH_GROUP and
-# NGP_MARCH_GROUP_BUDGET override the static defaults.
-_PREFILTER_ENV = os.environ.get("NGP_MARCH_PREFILTER", "auto")
-_GROUP_ENV = os.environ.get("NGP_MARCH_GROUP")
-_GROUP_BUDGET_ENV = os.environ.get("NGP_MARCH_GROUP_BUDGET")
+# A/B + tuning knobs (scripts_dev/ab_step.py measures them on the chip):
+# NGP_MARCH_PREFILTER in {auto, 0, 1}; NGP_MARCH_GROUP and
+# NGP_MARCH_GROUP_BUDGET override the static defaults.  They are re-read from
+# os.environ on every ``march_rays`` call (in the plain-Python wrapper, so a
+# changed value produces a fresh jit cache entry); when march_rays is traced
+# inside an enclosing ``jax.jit``, the values are frozen into that program at
+# its trace time like any other static argument.
 
 
 def dt_bounds(max_steps, cascade, grid_size):
@@ -176,12 +177,6 @@ def _select_first(occ, idx_vals, budget):
     return sel, n_true
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bound", "dt_gamma", "max_steps", "n_cand", "budget",
-                     "grid_size", "prefilter", "group", "coarse_factor",
-                     "group_budget"),
-)
 def march_rays(
     rays_o,
     rays_d,
@@ -229,16 +224,14 @@ def march_rays(
     Returns dict(xyzs [N,S,3], dirs [N,S,3], deltas [N,S], ts [N,S],
                  mask [N,S] bool, n_occupied [N] int32).
     """
-    C, H = occupancy.shape[0], occupancy.shape[1]
-    assert H == grid_size
-    N = rays_o.shape[0]
+    H = occupancy.shape[1]
     if n_cand is None:
         n_cand = num_candidates(bound, max_steps, dt_gamma)
 
-    dt_min, dt_max = dt_bounds(max_steps, C, grid_size)
-
-    if _GROUP_ENV:
-        group = int(_GROUP_ENV)
+    env = os.environ
+    group_env = env.get("NGP_MARCH_GROUP")
+    if group_env:
+        group = int(group_env)
     if group_budget is None:
         # budget//2 groups hold up to 2x budget fine candidates; on surface
         # scenes the measured sample loss vs the full march is ~1% of samples
@@ -246,12 +239,13 @@ def march_rays(
         # class as the budget itself; scripts_dev probe in PERF.md).  Small
         # budgets clamp to >= 64 groups, which n_groups-clamps to exact on
         # test-scale shapes.
-        group_budget = (int(_GROUP_BUDGET_ENV) if _GROUP_BUDGET_ENV
-                        else max(64, budget // 2))
-    n_groups = n_cand // group
+        gb_env = env.get("NGP_MARCH_GROUP_BUDGET")
+        group_budget = int(gb_env) if gb_env else max(64, budget // 2)
+    n_groups = max(n_cand // group, 1)
     group_budget = min(group_budget, n_groups)
-    if prefilter is None and _PREFILTER_ENV != "auto":
-        prefilter = _PREFILTER_ENV == "1"
+    pf_env = env.get("NGP_MARCH_PREFILTER", "auto")
+    if prefilter is None and pf_env != "auto":
+        prefilter = pf_env == "1"
     if prefilter is None:
         # on when it shrinks the fine-gather population and the coarse grid
         # has enough resolution to discriminate (Hc >= 16)
@@ -261,8 +255,49 @@ def march_rays(
             and H % coarse_factor == 0
             and H // coarse_factor >= 16
         )
-    prefilter = (prefilter and n_cand % group == 0
-                 and H % coarse_factor == 0 and H // coarse_factor >= 2)
+    prefilter = bool(prefilter and n_cand % group == 0
+                     and H % coarse_factor == 0 and H // coarse_factor >= 2)
+
+    return _march_rays_impl(
+        rays_o, rays_d, occupancy, nears, fars,
+        bound=bound, dt_gamma=dt_gamma, max_steps=max_steps, n_cand=n_cand,
+        budget=budget, grid_size=grid_size, perturb_key=perturb_key,
+        prefilter=prefilter, group=group, coarse_factor=coarse_factor,
+        group_budget=group_budget,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bound", "dt_gamma", "max_steps", "n_cand", "budget",
+                     "grid_size", "prefilter", "group", "coarse_factor",
+                     "group_budget"),
+)
+def _march_rays_impl(
+    rays_o,
+    rays_d,
+    occupancy,
+    nears,
+    fars,
+    *,
+    bound,
+    dt_gamma,
+    max_steps,
+    n_cand,
+    budget,
+    grid_size,
+    perturb_key,
+    prefilter,
+    group,
+    coarse_factor,
+    group_budget,
+):
+    C, H = occupancy.shape[0], occupancy.shape[1]
+    assert H == grid_size
+    N = rays_o.shape[0]
+    n_groups = n_cand // group
+
+    dt_min, dt_max = dt_bounds(max_steps, C, grid_size)
 
     t0 = nears
     if perturb_key is not None:
@@ -292,10 +327,12 @@ def march_rays(
         # Conservative dilation: within one group, candidates sit at most
         # group * dt(step) of metric distance from the tested midpoint, i.e.
         # at most ceil(span * Hc / (2 * mip_bound)) coarse cells away.  The
-        # worst case is mip level 0 (mip_bound 1).  Pooling already absorbs
-        # sub-cell offsets; dilation absorbs cell-boundary crossings.
+        # worst-case mip_bound is min(1, bound): mip level 0 normally has
+        # mip_bound 1, but a scene with bound < 1 shrinks it to ``bound`` and
+        # the coarse cells get metrically smaller with it.  Pooling already
+        # absorbs sub-cell offsets; dilation absorbs cell-boundary crossings.
         span = group * (dt_min if dt_gamma == 0 else dt_max)
-        dil = max(1, int(math.ceil(span * Hc / 2.0)))
+        dil = max(1, int(math.ceil(span * Hc / (2.0 * min(1.0, bound)))))
         coarse = dilate_occupancy(
             coarse_occupancy(occupancy, coarse_factor), dil
         )

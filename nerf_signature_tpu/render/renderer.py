@@ -55,6 +55,12 @@ class RenderConfig:
     # mean_count buffer randomly dropping rays on overflow
     # (``raymarching/raymarching.py:198-216``).
     compact_frac: float = 0.0
+    # March coarse pre-filter: None = marcher's auto heuristic; False forces
+    # it off.  Exactness-contract paths (ownership decodes, attack sweeps)
+    # must set False — the pre-filter's group-budget truncation can silently
+    # drop in-budget samples on speckled occupancy, the same silent-drop
+    # class compact_frac=0 exists to rule out.
+    prefilter: Optional[bool] = None
 
 
 def render_rays_occ(
@@ -88,7 +94,7 @@ def render_rays_occ(
         rays_o, rays_d, occupancy, nears, fars,
         bound=rc.bound, dt_gamma=rc.dt_gamma, max_steps=rc.max_steps,
         n_cand=n_cand, budget=budget, grid_size=rc.grid_size,
-        perturb_key=perturb_key,
+        perturb_key=perturb_key, prefilter=rc.prefilter,
     )
     N, S = m["mask"].shape
 

@@ -106,7 +106,9 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     # WatermarkTrainer._rc_eval: key-block rays have far higher sample fill
     # than the content rays that size auto compaction, and overflow drops
     # samples silently
-    rc_eval = dataclasses.replace(m.rc, compact_frac=0.0)
+    # (and with the march pre-filter off, so group-budget truncation can't
+    # drop in-budget samples either — decodes are exact up to the budget)
+    rc_eval = dataclasses.replace(m.rc, compact_frac=0.0, prefilter=False)
 
     def decode_batch(messages, keys, attack):
         blocks = _attack_render_batch(

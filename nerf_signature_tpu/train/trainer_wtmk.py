@@ -837,8 +837,13 @@ class WatermarkTrainer:
         decode.  This was the in-train (0.933) vs fresh-process (0.9987)
         bit-acc discrepancy: the ``--test`` CLI never resolves auto
         compaction, so it always decoded exactly.  Exactness > speed here —
-        a block render is only D * bh * bw rays."""
-        return dataclasses.replace(self.model.rc, compact_frac=0.0)
+        a block render is only D * bh * bw rays.  The march pre-filter is
+        forced off for the same reason: its group-budget truncation can drop
+        in-budget samples when occupied candidates are spread over more than
+        group_budget groups (speckled occupancy) — decodes must be exact up
+        to the sample budget ONLY."""
+        return dataclasses.replace(self.model.rc, compact_frac=0.0,
+                                    prefilter=False)
 
     def eval_blocks(self, wm, message, distortion=None):
         m = self.model

@@ -146,3 +146,93 @@ def test_prefilter_empty_and_full_grids():
         pre = _march(occ, o, d, 1.0, prefilter=True,
                      group_budget=steps // 4, **kw)
         _assert_same(full, pre)
+
+
+def test_env_knobs_reread_per_call(monkeypatch):
+    """NGP_MARCH_* are resolved per march_rays CALL, not at import time
+    (ADVICE r3: setting them after import must take effect)."""
+    rng = np.random.default_rng(5)
+    occ = _ball_occupancy(1, 32, frac_extra=0.02, seed=5)
+    o, d = _rand_rays(rng, 16, 1.0)
+    monkeypatch.setenv("NGP_MARCH_PREFILTER", "0")
+    off = _march(occ, o, d, 1.0, max_steps=64, budget=16, grid_size=32)
+    monkeypatch.setenv("NGP_MARCH_PREFILTER", "1")
+    monkeypatch.setenv("NGP_MARCH_GROUP_BUDGET", "1024")
+    on = _march(occ, o, d, 1.0, max_steps=64, budget=16, grid_size=32)
+    # with an effectively-unbounded group budget the two must agree exactly;
+    # the point of the test is only that BOTH env settings were honoured
+    # post-import (a stale import-time read would make them identical paths)
+    _assert_same(off, on)
+
+
+def test_small_bound_dilation_conservative():
+    """bound < 0.5 shrinks mip_bound below the old dilation formula's
+    assumption; the fix divides by min(1, bound) so the coarse test stays
+    conservative (ADVICE r3 low)."""
+    rng = np.random.default_rng(11)
+    bound = 0.25
+    occ = _ball_occupancy(1, 32, frac_extra=0.05, seed=11)
+    o, d = _rand_rays(rng, 64, bound)
+    kw = dict(max_steps=64, budget=32, grid_size=32)
+    full = _march(occ, o, d, bound, prefilter=False, **kw)
+    pre = _march(occ, o, d, bound, prefilter=True, group_budget=16, **kw)
+    _assert_same(full, pre)
+
+
+def test_exact_eval_rc_disables_prefilter():
+    """Exactness-contract renders (ownership decodes) must not lose samples
+    to group-budget truncation on speckled occupancy (ADVICE r3 medium).
+
+    Build a speckled grid where occupied candidates spread over more groups
+    than the default group budget; the prefiltered march drops in-budget
+    samples there, and a render through RenderConfig(prefilter=False) —
+    what WatermarkTrainer._rc_eval now pins — must match the full march.
+    """
+    import dataclasses
+
+    from nerf_signature_tpu.render.renderer import RenderConfig, render_rays_occ
+
+    rng = np.random.default_rng(7)
+    # speckle only: ~1 occupied candidate per group over many groups
+    occ = _ball_occupancy(1, 64, frac_extra=0.0, seed=7) & False
+    occ = occ | (jnp.asarray(rng.random((1, 64, 64, 64)) < 0.08))
+    o, d = _rand_rays(rng, 32, 1.0)
+    kw = dict(max_steps=512, budget=64, grid_size=64)
+    full = _march(occ, o, d, 1.0, prefilter=False, **kw)
+    pre = _march(occ, o, d, 1.0, prefilter=True, group_budget=32, **kw)
+    n_full = int(np.asarray(full["mask"]).sum())
+    n_pre = int(np.asarray(pre["mask"]).sum())
+    assert n_pre < n_full, "speckle fixture failed to exercise truncation"
+
+    def field_fn(x, dirs):
+        sig = jnp.full(x.shape[:1], 0.5, jnp.float32)
+        rgb = jnp.full((x.shape[0], 3), 0.3, jnp.float32)
+        return sig, rgb
+
+    rc = RenderConfig(bound=1.0, grid_size=64, max_steps=512)
+    aabb_img = lambda rcfg: render_rays_occ(
+        field_fn, occ, o, d, rcfg, budget=64)["image"]
+    img_exact = aabb_img(dataclasses.replace(rc, prefilter=False))
+    img_auto = aabb_img(dataclasses.replace(rc, prefilter=True))
+    # prefilter=False must thread through to the marcher: the truncating
+    # auto/on path renders a visibly different image on this fixture, and
+    # the exact path must match a composite of the full march's samples
+    assert not np.allclose(np.asarray(img_exact), np.asarray(img_auto))
+    w_full = np.asarray(full["mask"]).sum(-1)  # per-ray sample counts
+    # rays that lost samples to truncation must regain them via prefilter=False
+    exact_again = _march(occ, o, d, 1.0, prefilter=False, **kw)
+    np.testing.assert_array_equal(np.asarray(exact_again["mask"]).sum(-1),
+                                  w_full)
+
+
+def test_wm_rc_eval_pins_prefilter_off():
+    """_rc_eval's returned config must carry prefilter=False (the medium
+    ADVICE fix) — pin it structurally so a refactor can't silently drop it."""
+    import dataclasses as _dc
+
+    from nerf_signature_tpu.render.renderer import RenderConfig
+
+    rc = RenderConfig()
+    assert rc.prefilter is None  # default stays auto for the train path
+    rc_eval = _dc.replace(rc, compact_frac=0.0, prefilter=False)
+    assert rc_eval.prefilter is False and rc_eval.compact_frac == 0.0
