@@ -58,6 +58,11 @@ def main():
         # BENCH_LEVEL_STRIDE=2: backward hash-gradient level subsampling
         # (unbiased; halves the step's largest term — see PERF.md round 3)
         hash_level_stride=int(os.environ.get("BENCH_LEVEL_STRIDE", "1")),
+        # BENCH_FWD_CORNERS=1: forward corner subsampling — gather only the
+        # weight-sampled corner per (level, sample) inside the train step
+        # (unbiased one-sample estimate, 8x fewer forward gather rows; the
+        # round-4 population-reduction A/B, see PERF.md)
+        hash_fwd_corners=int(os.environ.get("BENCH_FWD_CORNERS", "8")),
         # BENCH_DENSE=1: tcnn-style dense coarse levels (A/B the gather
         # locality win; see ops.hashenc.level_sides)
         dense_coarse=os.environ.get("BENCH_DENSE") == "1",
@@ -148,16 +153,21 @@ def main():
         # (16-chunk maps, budget 256) hang/crash the tunneled worker
         # (PERF.md operational note), and this granularity matches what the
         # staged renderer ships in production.
+        import dataclasses
         import functools
 
         from nerf_signature_tpu.api import _render_occ_clean_staged
 
+        # renders are ALWAYS exact 8-corner interpolation, even when the
+        # train loop above ran the BENCH_FWD_CORNERS=1 subsampled forward
+        cfg_eval = (dataclasses.replace(cfg, hash_fwd_corners=8)
+                    if cfg.hash_fwd_corners != 8 else cfg)
         rays = get_rays(poses[:1], intrinsics, H, W, -1)
         ro = np.asarray(rays["rays_o"][0].reshape(-1, 4, 4096, 3))
         rd = np.asarray(rays["rays_d"][0].reshape(-1, 4, 4096, 3))
         render = functools.partial(
             _render_occ_clean_staged, params, occ.occupancy,
-            bg_color=1.0, cfg=cfg, rc=rc, budget=128,
+            bg_color=1.0, cfg=cfg_eval, rc=rc, budget=128,
         )
         float(jnp.sum(render(
             rays_o_chunks=jnp.asarray(ro[0]), rays_d_chunks=jnp.asarray(rd[0])
@@ -190,8 +200,13 @@ def main():
         )
         from nerf_signature_tpu.train.trainer_wtmk import _wm_device_loop
 
+        import dataclasses as _dc
+
         D, bh, bw = 16, 8, 8
-        wcfg = WatermarkConfig(ngp=cfg, message_dim=D)
+        # the wm stage is not validated with forward corner subsampling —
+        # pin its backbone cfg exact regardless of BENCH_FWD_CORNERS
+        wcfg = WatermarkConfig(
+            ngp=_dc.replace(cfg, hash_fwd_corners=8), message_dim=D)
         p = init_watermark_params(jax.random.PRNGKey(0), wcfg)
         backbone = dict(p["backbone"], hash_table=params["hash_table"],
                         sigma_net=params["sigma_net"],

@@ -58,6 +58,14 @@ class NGPConfig:
     # so stride 2 removes ~half of the largest term.  1 = off (default).
     # Only active when stochastic_hash_grad is on.
     hash_level_stride: int = 1
+    # Forward corner subsampling: 8 = exact trilinear (default); 1 = gather
+    # only the weight-sampled corner per (level, sample) — an unbiased
+    # one-sample estimate of the interpolated feature with 8x fewer forward
+    # gather rows (the train step's largest engine term, PERF.md round 3/4).
+    # TRAIN-STEP ONLY: trainers thread replace(cfg, hash_fwd_corners=k) into
+    # their step functions; every eval/render path keeps the model's own cfg
+    # (this default), so renders stay exact.  Requires stochastic_hash_grad.
+    hash_fwd_corners: int = 8
     # tcnn-style dense storage for coarse levels (collision-free, spatially
     # ordered rows -> gather-engine locality; see ops.hashenc.level_sides).
     # Off by default: the reference's pure-torch encoder hashes every level,
@@ -157,6 +165,7 @@ def _encode_pos(params, cfg: NGPConfig, x):
         stochastic_grad=cfg.stochastic_hash_grad,
         dense_sides=cfg.dense_sides,
         level_stride=cfg.hash_level_stride,
+        fwd_corners=cfg.hash_fwd_corners,
     )
 
 

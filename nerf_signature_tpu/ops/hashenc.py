@@ -188,10 +188,12 @@ def _make_interp_stochastic(T, F, table_dtype, gather_dtype, n_corners,
             # blended by an elementwise per-sample select — so the entire
             # saving (the scatter is the train step's largest term, ~44%,
             # PERF.md round 3) lands.  The phase comes from remixed
-            # position-hash bits (``phase_bits`` = the corner-choice u_bits,
-            # which vary per sample AND per step via the marcher's t0
-            # jitter — a cell-stable source like the chosen row index would
-            # deterministically starve whole cells of gradient).
+            # position-hash bits (``phase_bits`` = a salted hash of the
+            # sample's position bits, independent of every level's
+            # corner-choice bits), which vary per sample AND per step via
+            # the marcher's t0 jitter — a cell-stable source like the chosen
+            # row index would deterministically starve whole cells of
+            # gradient.
             slice_i = [chosen_idx[p::level_stride] for p in range(level_stride)]
             slice_c = [ct[p::level_stride] for p in range(level_stride)]
             phase = ((phase_bits * jnp.uint32(2654435761)) >> jnp.uint32(13)
@@ -243,12 +245,12 @@ def _hash3(cx, cy, cz, log2_hashmap_size):
     jax.jit,
     static_argnames=("log2_hashmap_size", "resolutions_key", "gather_dtype",
                      "stochastic_grad", "shared_table", "dense_sides",
-                     "level_stride"),
+                     "level_stride", "fwd_corners"),
 )
 def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
                       resolutions_key, gather_dtype=None,
                       stochastic_grad=False, shared_table=False,
-                      dense_sides=None, level_stride=1):
+                      dense_sides=None, level_stride=1, fwd_corners=8):
     del resolutions_key  # keys the jit cache on the level config
     L = resolutions.shape[0]
     F = table.shape[-1]
@@ -327,15 +329,11 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
         # probability cw_c.  Pseudo-random u comes from hashing the sample's
         # own position bits (positions are jittered per step by the marcher's
         # perturb), so no PRNG key threading is needed.
-        u_bits = _hash3(
-            jax.lax.bitcast_convert_type(scaled[0].astype(jnp.float32),
-                                         jnp.uint32),
-            jax.lax.bitcast_convert_type(scaled[1].astype(jnp.float32),
-                                         jnp.uint32),
-            jax.lax.bitcast_convert_type(scaled[2].astype(jnp.float32),
-                                         jnp.uint32),
-            24,
-        )
+        pos_bits = [
+            jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.uint32)
+            for s in scaled
+        ]
+        u_bits = _hash3(pos_bits[0], pos_bits[1], pos_bits[2], 24)
         u = u_bits.astype(table.dtype) * (1.0 / (1 << 24))
         cum = jnp.zeros((L, M), table.dtype)
         done = jnp.zeros((L, M), bool)
@@ -345,14 +343,39 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
             newly = (u < cum) & ~done
             chosen_idx = jnp.where(newly, idxs[c], chosen_idx)
             done = done | newly
-        interp = _make_interp_stochastic(
-            table.shape[0], F, table.dtype.name, gd, 8,
-            level_stride if L % max(level_stride, 1) == 0 else 1,
-        )
-        # phase bits for the (optional) backward level subsampling: the
-        # finest level's u_bits vary per sample and per step (t0 jitter)
-        acc = interp(table, table_g, tuple(idxs), tuple(cws), chosen_idx,
-                     u_bits[-1])
+        # phase bits for the (optional) backward level subsampling: a
+        # DISTINCTLY-SALTED hash of the same per-sample position bits, so the
+        # keep-this-level decision is decorrelated from every level's corner
+        # choice (u_bits[-1] would couple it to level L-1's corner and bias
+        # that level's gradient); still varies per sample and per step (t0
+        # jitter)
+        phase_bits = _hash3(pos_bits[0][-1] ^ jnp.uint32(0x9E3779B9),
+                            pos_bits[1][-1], pos_bits[2][-1], 24)
+        eff_stride = level_stride if L % max(level_stride, 1) == 0 else 1
+        if fwd_corners == 1:
+            # Forward corner subsampling: gather ONLY the weight-sampled
+            # corner the stochastic backward already chooses.  The output is
+            # a one-sample importance estimate of the trilinear sum
+            # (corner c picked w.p. cw_c, estimator = cw_c * row_c / cw_c =
+            # row_c — unbiased over the position-hash bits), with 8x fewer
+            # forward gather rows: the train step's LARGEST engine term
+            # (~67 ms of 8-corner row gathers at headline shapes, PERF.md
+            # round 3).  The VJP is the exact gradient OF THE ESTIMATOR
+            # (scatter the cotangent at the chosen row), so the training
+            # signal stays unbiased.  Train-step only — eval paths keep the
+            # exact 8-corner interpolation (see NGPConfig.hash_fwd_corners).
+            interp = _make_interp_stochastic(
+                table.shape[0], F, table.dtype.name, gd, 1, eff_stride,
+            )
+            one = jnp.ones(chosen_idx.shape, table.dtype)
+            acc = interp(table, table_g, (chosen_idx,), (one,), chosen_idx,
+                         phase_bits)
+        else:
+            interp = _make_interp_stochastic(
+                table.shape[0], F, table.dtype.name, gd, 8, eff_stride,
+            )
+            acc = interp(table, table_g, tuple(idxs), tuple(cws), chosen_idx,
+                         phase_bits)
     else:
         gather_rows = _make_gather_rows(table.shape[0], F, table.dtype.name, gd)
         acc = jnp.zeros((L, M, F), table.dtype)
@@ -365,7 +388,7 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
 
 def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
                 stochastic_grad=False, shared_table=False, dense_sides=None,
-                level_stride=1):
+                level_stride=1, fwd_corners=8):
     """Encode positions x in [0, 1]^3 -> [N, L*F] features.
 
     x: [N, 3] float; table: [L * 2**S, F]; resolutions: numpy array [L].
@@ -376,18 +399,28 @@ def hash_encode(x, table, resolutions, log2_hashmap_size, gather_dtype=None,
     (8x fewer table-gradient scatter updates; see ``_make_interp_stochastic``).
     NB: position gradients are ZERO on the stochastic path — keep it off if
     you differentiate w.r.t. x.
+    fwd_corners: 8 = exact trilinear forward (default); 1 = forward corner
+    subsampling — gather only the weight-sampled corner (unbiased one-sample
+    estimate of the interpolation, 8x fewer forward gather rows).  Requires
+    stochastic_grad.  Train-step only; eval must stay at 8.
     shared_table: table is ONE [2**S, F] level-shared table instead of
     [L * 2**S, F] (message-encoder 'all-levels' ablation).
     dense_sides: optional per-level tuple from ``level_sides`` — nonzero
     entries mark DENSE levels (side**3 rows, row-major linear index); the
     table then has ``sum(level_row_counts)`` rows.
     """
+    if fwd_corners not in (1, 8):
+        raise ValueError("fwd_corners must be 1 or 8")
+    if fwd_corners == 1 and not stochastic_grad:
+        raise ValueError("fwd_corners=1 requires stochastic_grad=True (the "
+                         "weight-sampled corner choice lives on that path)")
     res = jnp.asarray(resolutions, dtype=jnp.float32)
     return _hash_encode_impl(
         x, table, res, log2_hashmap_size,
         tuple(np.asarray(resolutions).tolist()), gather_dtype=gather_dtype,
         stochastic_grad=stochastic_grad, shared_table=shared_table,
-        dense_sides=dense_sides,
+        dense_sides=dense_sides, level_stride=level_stride,
+        fwd_corners=fwd_corners,
     )
 
 

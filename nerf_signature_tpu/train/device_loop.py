@@ -13,6 +13,7 @@ environments: per-call Execute latency measures the transport, not the
 framework.
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -108,7 +109,12 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
 
     def maybe_update_grid(occ, params, k, step):
         def do_update(occ):
-            density_fn = lambda x: ngp_density(params, cfg, x)["sigma"]
+            # occupancy maintenance always queries the EXACT 8-corner field,
+            # even when the optimisation step runs forward corner subsampling
+            # (a stochastic density estimate would speckle the grid)
+            cfg_exact = (dataclasses.replace(cfg, hash_fwd_corners=8)
+                         if cfg.hash_fwd_corners != 8 else cfg)
+            density_fn = lambda x: ngp_density(params, cfg_exact, x)["sigma"]
             full = occ.iter_density < grid_full_until
 
             def upd(full_flag):

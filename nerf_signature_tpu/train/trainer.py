@@ -18,6 +18,7 @@ heuristic becomes power-of-two adaptation of the static march budget with
 hysteresis (recompiles at most a handful of times per run).
 """
 
+import dataclasses
 import functools
 import os
 import time
@@ -173,6 +174,19 @@ class Trainer:
 
         self.optimizer = make_optimizer(opt.lr, opt.iters)
         self.opt_state = self.optimizer.init(model.params)
+        # Train-step-scoped field config: forward corner subsampling
+        # (--hash_fwd_corners 1) applies ONLY inside the optimisation step;
+        # every eval/render/pseudo-GT path keeps model.cfg's exact 8-corner
+        # interpolation.  See NGPConfig.hash_fwd_corners.
+        fwd_corners = int(getattr(opt, "hash_fwd_corners", 8) or 8)
+        if fwd_corners != 8 and not getattr(opt, "stochastic_hash_grad",
+                                            False):
+            raise ValueError("--hash_fwd_corners 1 requires "
+                             "--stochastic_hash_grad")
+        self.cfg_train = (
+            dataclasses.replace(model.cfg, hash_fwd_corners=fwd_corners)
+            if fwd_corners != model.cfg.hash_fwd_corners else model.cfg
+        )
         # distinct buffers: params and ema are both donated to the jitted step
         self.ema_params = jax.tree_util.tree_map(jnp.copy, model.params)
 
@@ -497,7 +511,8 @@ class Trainer:
          ) = _train_step(
             m.params, self.ema_params, self.opt_state, occupancy,
             rays_o, rays_d, images_dev, m._next_key(),
-            m.cfg, m.rc, m.train_budget, self.optimizer.update, has_alpha,
+            self.cfg_train, m.rc, m.train_budget, self.optimizer.update,
+            has_alpha,
             self.ema_decay, self._lpips_params,
             self.patch_size if (self._lpips_params is not None
                                 or self.lambda_ssim > 0) else 1,
@@ -612,7 +627,8 @@ class Trainer:
             (m.params, self.ema_params, self.opt_state, m.occ, losses,
              mean_occ, em, occ_p95) = device_train_loop(
                 m.params, self.ema_params, self.opt_state, m.occ, poses,
-                images, intr, m._next_key(), self.global_step, m.cfg, m.rc,
+                images, intr, m._next_key(), self.global_step, self.cfg_train,
+                m.rc,
                 m.train_budget, self.optimizer.update, C == 4,
                 self.ema_decay, k, self.opt.num_rays, H, W,
                 update_interval=getattr(self.opt, "update_extra_interval", 16),

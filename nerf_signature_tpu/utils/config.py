@@ -87,6 +87,15 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "stride (1=off; 2 scatters every other level "
                              "per sample, unbiased — needs "
                              "--stochastic_hash_grad)")
+    parser.add_argument("--hash_fwd_corners", type=int, default=8,
+                        choices=(1, 8),
+                        help="forward hash-gather corner count INSIDE the "
+                             "train step only (8=exact trilinear; 1=gather "
+                             "only the weight-sampled corner — unbiased "
+                             "one-sample estimate, ~8x fewer forward gather "
+                             "rows, the step's largest engine term; needs "
+                             "--stochastic_hash_grad; eval/render always "
+                             "stay exact; clean trainer only)")
     parser.add_argument("--dense_coarse", action="store_true",
                         help="tcnn-style dense (collision-free, spatially "
                              "ordered) storage for coarse hash levels — "
