@@ -439,6 +439,25 @@ class WatermarkTrainer:
                 "--lambda_msg_reg regularises the codebook msg tables; this "
                 "model variant has no msg_tables in its trainable subtree"
             )
+        # Train-step-scoped field config (same contract as the clean
+        # Trainer.cfg_train): --hash_fwd_corners 1 makes the IN-STEP block +
+        # content renders one-corner importance estimates (8x fewer forward
+        # gather rows); every eval / decode / pseudo-GT path keeps
+        # model.wcfg's exact 8-corner interpolation, so ownership decodes
+        # stay exact.  See NGPConfig.hash_fwd_corners.
+        fwd_corners = int(getattr(opt, "hash_fwd_corners", 8) or 8)
+        if fwd_corners != 8 and not model.wcfg.ngp.stochastic_hash_grad:
+            raise ValueError("--hash_fwd_corners 1 requires "
+                             "--stochastic_hash_grad")
+        self.wcfg_train = (
+            dataclasses.replace(
+                model.wcfg,
+                ngp=dataclasses.replace(model.wcfg.ngp,
+                                        hash_fwd_corners=fwd_corners),
+            )
+            if fwd_corners != model.wcfg.ngp.hash_fwd_corners
+            else model.wcfg
+        )
 
         self.optimizer = make_optimizer(opt.lr, opt.iters)
         if model.wcfg.finetune_decoder:
@@ -622,7 +641,7 @@ class WatermarkTrainer:
             ct_o, ct_d, ct_gt,
             jnp.asarray(message), m._next_key(),
             jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
-            m.wcfg, m.rc, self.content_budget, m.infer_budget,
+            self.wcfg_train, m.rc, self.content_budget, m.infer_budget,
             self.optimizer.update, self.distortion, self.loss_kind,
             patch_size=self.patch_size,
             lambda_ssim=(jnp.float32(self.lambda_ssim)
@@ -736,7 +755,7 @@ class WatermarkTrainer:
                 m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
                 ro_b, rd_b, poses, images, intr, m._next_key(),
                 jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
-                m.wcfg, m.rc, self.content_budget, m.infer_budget,
+                self.wcfg_train, m.rc, self.content_budget, m.infer_budget,
                 self.optimizer.update, self.distortion, self.loss_kind,
                 k, self.opt.num_rays, H, W, mesh=self.mesh,
                 patch_size=self.patch_size,

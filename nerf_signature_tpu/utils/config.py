@@ -94,8 +94,8 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "only the weight-sampled corner — unbiased "
                              "one-sample estimate, ~8x fewer forward gather "
                              "rows, the step's largest engine term; needs "
-                             "--stochastic_hash_grad; eval/render always "
-                             "stay exact; clean trainer only)")
+                             "--stochastic_hash_grad; eval/render/decode "
+                             "paths always stay exact; both trainers)")
     parser.add_argument("--dense_coarse", action="store_true",
                         help="tcnn-style dense (collision-free, spatially "
                              "ordered) storage for coarse hash levels — "

@@ -162,6 +162,60 @@ class TestTrainerScoping:
         with pytest.raises(ValueError, match="stochastic"):
             Trainer("ngp", opt, model, workspace=str(tmp_path))
 
+    def test_wm_trainer_scopes_to_step_only(self):
+        """WatermarkTrainer.wcfg_train carries fwd_corners=1 while
+        model.wcfg (decode/eval paths) stays exact; a train step runs."""
+        import types
+
+        from nerf_signature_tpu.api import WatermarkModel
+        from nerf_signature_tpu.models.ngp import NGPConfig
+        from nerf_signature_tpu.models.watermark import WatermarkConfig
+        from nerf_signature_tpu.train.trainer_wtmk import WatermarkTrainer
+
+        def build(stochastic, fwd):
+            cfg = NGPConfig(bound=1.0, n_levels=4, log2_hashmap_size=10,
+                            finest_resolution=64,
+                            compute_dtype=jnp.float32,
+                            stochastic_hash_grad=stochastic)
+            wcfg = WatermarkConfig(ngp=cfg, message_dim=2, msg_resolution=64,
+                                   msg_log2_hashmap_size=10)
+            model = WatermarkModel(wcfg, grid_size=16, max_steps=64,
+                                   train_budget=16, infer_budget=16)
+            model.occ = model.occ._replace(
+                occupancy=model.occ.occupancy.at[:].set(True))
+            opt = types.SimpleNamespace(
+                seed=0, iters=4, lr=1e-2, lambda_w=0.5, lambda_i=1.0,
+                loss_w="bce", distortion="none", message_dim=2, devices=0,
+                num_rays=16, hash_fwd_corners=fwd)
+            return model, WatermarkTrainer(
+                "fwd", opt, model, workspace=None,
+                use_checkpoint="scratch", mute=True)
+
+        model, tr = build(True, 1)
+        assert tr.wcfg_train.ngp.hash_fwd_corners == 1
+        assert model.wcfg.ngp.hash_fwd_corners == 8
+
+        rng = np.random.default_rng(3)
+        D, bh, bw = 2, 4, 4
+        data = {
+            "watermark": {
+                "rays_o_block": np.zeros((D, bh, bw, 3), np.float32) - 2.0,
+                "rays_d_block": np.tile(np.array([1, 0, 0], np.float32),
+                                        (D, bh, bw, 1)),
+            },
+            "content": {
+                "rays_o": np.zeros((16, 3), np.float32) - 2.0,
+                "rays_d": np.tile(np.array([1, 0, 0], np.float32), (16, 1)),
+                "images": rng.random((16, 3)).astype(np.float32),
+            },
+        }
+        loss, lossw, lossi, _ = tr.train_step_data(
+            data, np.array([0, 1], np.int32))
+        assert np.isfinite(float(loss))
+
+        with pytest.raises(ValueError, match="stochastic"):
+            build(False, 1)
+
     def test_device_loop_trains_with_fwd_corners(self):
         """A few on-device steps with the subsampled forward: finite losses,
         the hash table moves, occupancy maintenance (exact-field queries)
