@@ -50,7 +50,12 @@ def chained(f):
 
 def main():
     cfg = NGPConfig(bound=1.0, compute_dtype=jnp.bfloat16,
-                    stochastic_hash_grad=os.environ.get("STOCH") == "1")
+                    stochastic_hash_grad=os.environ.get("STOCH") == "1",
+                    # FWD_CORNERS=1 / LEVEL_STRIDE=2: profile the round-4
+                    # subsampled step (see PERF.md)
+                    hash_fwd_corners=int(os.environ.get("FWD_CORNERS", "8")),
+                    hash_level_stride=int(os.environ.get("LEVEL_STRIDE",
+                                                         "1")))
     # COMPACT=<frac>: profile the globally-sample-compacted step (the bench
     # default is 0.25; per-component rows then show where the post-compaction
     # wall sits)
@@ -111,6 +116,21 @@ def main():
                lambda tt: jnp.sum(hash_encode(a + s, tt, cfg.resolutions,
                                               cfg.log2_hashmap_size) ** 2))(t)),
            params["hash_table"], x01)
+
+    # isolated optimizer cost: Adam moments + param update + EMA over the
+    # FULL param pytree (17M params; fake grads = params, same shapes)
+    @jax.jit
+    def opt_only(s, p, e, o):
+        g = jax.tree_util.tree_map(lambda t: t * 1e-9 + s, p)
+        updates, o2 = optimizer.update(g, o, p)
+        import optax
+
+        p2 = optax.apply_updates(p, updates)
+        e2 = jax.tree_util.tree_map(lambda a, b: 0.95 * a + 0.05 * b, e, p2)
+        leaves = jax.tree_util.tree_leaves((p2, e2))
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves) * 1e-12
+
+    timeit("adam+ema (17M params)", opt_only, params, ema, opt_state)
 
     def step(p, e, o, key):
         return _train_step(p, e, o, occupancy, rays_o, rays_d, images, key,
