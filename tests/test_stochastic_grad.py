@@ -88,6 +88,26 @@ class TestStochasticHashGrad:
         # 50k samples; stride scaling restores the total)
         np.testing.assert_allclose(a.sum(), b.sum(), rtol=5e-2)
 
+    def test_level_stride_actually_subsamples_per_sample(self):
+        """NON-VACUOUS stride check: a SINGLE sample's gradient must touch
+        only ceil(L/stride) levels when stride > 1 (round 3 shipped a
+        wrapper that silently dropped the kwarg — the aggregate tests above
+        pass trivially in that state; this one cannot)."""
+        key = jax.random.PRNGKey(7)
+        table = init_hash_table(key, 2, 2, S)
+        x = jax.random.uniform(key, (1, 3))
+
+        def per_level_mass(stride):
+            g = np.asarray(jax.grad(
+                lambda t: jnp.sum(hash_encode(x, t, RES, S,
+                                              stochastic_grad=True,
+                                              level_stride=stride))
+            )(table))
+            return (np.abs(g).reshape(2, -1).sum(axis=1) > 0)
+
+        assert per_level_mass(1).sum() == 2
+        assert per_level_mass(2).sum() == 1
+
     def test_level_stride_covers_both_phases(self):
         """Both level-parity classes receive gradient mass (the phase source
         must vary per sample, not per cell)."""
