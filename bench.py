@@ -67,6 +67,9 @@ def main():
         # locality win; see ops.hashenc.level_sides)
         dense_coarse=os.environ.get("BENCH_DENSE") == "1",
     )
+    if cfg.hash_fwd_corners != 8 and not cfg.stochastic_hash_grad:
+        raise SystemExit("BENCH_FWD_CORNERS=1 requires the stochastic-grad "
+                         "path (unset BENCH_EXACT)")
     # BENCH_COMPACT=<frac>: global sample compaction — pack occupied samples
     # across the batch before the field (renderer.compact_frac; measured
     # 13% mask fill on this scene, so the field otherwise computes ~7.6x
@@ -153,15 +156,14 @@ def main():
         # (16-chunk maps, budget 256) hang/crash the tunneled worker
         # (PERF.md operational note), and this granularity matches what the
         # staged renderer ships in production.
-        import dataclasses
         import functools
 
         from nerf_signature_tpu.api import _render_occ_clean_staged
+        from nerf_signature_tpu.models.ngp import exact_field_cfg
 
         # renders are ALWAYS exact 8-corner interpolation, even when the
         # train loop above ran the BENCH_FWD_CORNERS=1 subsampled forward
-        cfg_eval = (dataclasses.replace(cfg, hash_fwd_corners=8)
-                    if cfg.hash_fwd_corners != 8 else cfg)
+        cfg_eval = exact_field_cfg(cfg)
         rays = get_rays(poses[:1], intrinsics, H, W, -1)
         ro = np.asarray(rays["rays_o"][0].reshape(-1, 4, 4096, 3))
         rd = np.asarray(rays["rays_d"][0].reshape(-1, 4, 4096, 3))
@@ -200,13 +202,15 @@ def main():
         )
         from nerf_signature_tpu.train.trainer_wtmk import _wm_device_loop
 
-        import dataclasses as _dc
+        from nerf_signature_tpu.models.ngp import exact_field_cfg as _exact
 
         D, bh, bw = 16, 8, 8
-        # the wm stage is not validated with forward corner subsampling —
-        # pin its backbone cfg exact regardless of BENCH_FWD_CORNERS
-        wcfg = WatermarkConfig(
-            ngp=_dc.replace(cfg, hash_fwd_corners=8), message_dim=D)
+        # the wm-mode bench measures the standard (exact-forward) wm step;
+        # BENCH_WM_FWD_CORNERS=1 opts the wm step into the subsampled
+        # forward (trainer-equivalent of --hash_fwd_corners 1)
+        wm_ngp = (cfg if os.environ.get("BENCH_WM_FWD_CORNERS") == "1"
+                  else _exact(cfg))
+        wcfg = WatermarkConfig(ngp=wm_ngp, message_dim=D)
         p = init_watermark_params(jax.random.PRNGKey(0), wcfg)
         backbone = dict(p["backbone"], hash_table=params["hash_table"],
                         sigma_net=params["sigma_net"],

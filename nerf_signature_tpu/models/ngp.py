@@ -116,6 +116,16 @@ class NGPConfig:
         )
 
 
+def exact_field_cfg(cfg: NGPConfig) -> NGPConfig:
+    """The exactness-contract view of a config: same field, exact 8-corner
+    forward.  Every eval / render / occupancy-maintenance / pseudo-GT path
+    must query the field through this (train-step-only subsampling knobs
+    like ``hash_fwd_corners`` never leak into exactness paths)."""
+    if cfg.hash_fwd_corners == 8:
+        return cfg
+    return dataclasses.replace(cfg, hash_fwd_corners=8)
+
+
 def init_ngp_params(key, cfg: NGPConfig) -> Dict[str, Any]:
     k_hash, k_sigma, k_color, k_bgt, k_bgn = jax.random.split(key, 5)
     sigma_dims = (

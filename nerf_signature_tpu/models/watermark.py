@@ -133,10 +133,19 @@ def _msg_feature(trainable, cfg: WatermarkConfig, x01, message):
 def _encode_with_message(backbone, trainable, cfg: WatermarkConfig, x, message):
     ngp = cfg.ngp
     x01 = (x + ngp.bound) / (2.0 * ngp.bound)
+    # the backbone encode honours the ngp sampling knobs: forward corner
+    # subsampling (hash_fwd_corners=1, train-step-scoped via
+    # WatermarkTrainer.wcfg_train) cuts the step's largest engine term 8x;
+    # with fwd_corners=8 the stochastic path's FORWARD is bit-identical to
+    # the deterministic one, so eval configs stay exact either way.  The
+    # (tiny, gradient-carrying) message encode below stays exact always.
     feat = hash_encode(
         x01, backbone["hash_table"], ngp.resolutions, ngp.log2_hashmap_size,
         gather_dtype=jnp.dtype(ngp.compute_dtype).name,
         dense_sides=ngp.dense_sides,
+        stochastic_grad=ngp.stochastic_hash_grad,
+        level_stride=ngp.hash_level_stride,
+        fwd_corners=ngp.hash_fwd_corners,
     )
     if message is not None and not cfg.copyrnerf:
         msg_feat = _msg_feature(trainable, cfg, x01, message)

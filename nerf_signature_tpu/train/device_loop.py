@@ -13,7 +13,6 @@ environments: per-call Execute latency measures the transport, not the
 framework.
 """
 
-import dataclasses
 import functools
 
 import jax
@@ -21,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.ngp import ngp_background, ngp_density, ngp_field
+from ..models.ngp import (exact_field_cfg, ngp_background, ngp_density,
+                          ngp_field)
 from ..ops.grid import OccupancyGrid, update_occupancy_grid
 from ..render.renderer import render_rays_occ
 
@@ -112,9 +112,8 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
             # occupancy maintenance always queries the EXACT 8-corner field,
             # even when the optimisation step runs forward corner subsampling
             # (a stochastic density estimate would speckle the grid)
-            cfg_exact = (dataclasses.replace(cfg, hash_fwd_corners=8)
-                         if cfg.hash_fwd_corners != 8 else cfg)
-            density_fn = lambda x: ngp_density(params, cfg_exact, x)["sigma"]
+            density_fn = lambda x: ngp_density(params, exact_field_cfg(cfg),
+                                               x)["sigma"]
             full = occ.iter_density < grid_full_until
 
             def upd(full_flag):

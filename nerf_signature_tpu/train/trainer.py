@@ -179,8 +179,10 @@ class Trainer:
         # every eval/render/pseudo-GT path keeps model.cfg's exact 8-corner
         # interpolation.  See NGPConfig.hash_fwd_corners.
         fwd_corners = int(getattr(opt, "hash_fwd_corners", 8) or 8)
-        if fwd_corners != 8 and not getattr(opt, "stochastic_hash_grad",
-                                            False):
+        # validate against the AUTHORITATIVE config (model.cfg), not the opt
+        # namespace — programmatic construction can desync the two, and the
+        # field actually consulted by hash_encode is cfg.stochastic_hash_grad
+        if fwd_corners != 8 and not model.cfg.stochastic_hash_grad:
             raise ValueError("--hash_fwd_corners 1 requires "
                              "--stochastic_hash_grad")
         self.cfg_train = (

@@ -56,6 +56,8 @@ def main():
                     hash_fwd_corners=int(os.environ.get("FWD_CORNERS", "8")),
                     hash_level_stride=int(os.environ.get("LEVEL_STRIDE",
                                                          "1")))
+    if cfg.hash_fwd_corners != 8 and not cfg.stochastic_hash_grad:
+        raise SystemExit("FWD_CORNERS=1 requires STOCH=1")
     # COMPACT=<frac>: profile the globally-sample-compacted step (the bench
     # default is 0.25; per-component rows then show where the post-compaction
     # wall sits)

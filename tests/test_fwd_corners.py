@@ -195,6 +195,22 @@ class TestTrainerScoping:
         assert tr.wcfg_train.ngp.hash_fwd_corners == 1
         assert model.wcfg.ngp.hash_fwd_corners == 8
 
+        # EFFECT check (not just config fields): the wm field must actually
+        # consult the knob — one-corner encodes differ from exact trilinear
+        # once the table rows are non-tiny
+        from nerf_signature_tpu.models.watermark import _encode_with_message
+
+        bb = dict(model.backbone,
+                  hash_table=model.backbone["hash_table"] * 1e4)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            -0.9, 0.9, (256, 3)).astype(np.float32))
+        f_sub = _encode_with_message(bb, model.trainable, tr.wcfg_train, x,
+                                     None)
+        f_exact = _encode_with_message(bb, model.trainable, model.wcfg, x,
+                                       None)
+        assert not np.allclose(np.asarray(f_sub), np.asarray(f_exact)), \
+            "fwd_corners=1 did not reach the wm field's hash encode"
+
         rng = np.random.default_rng(3)
         D, bh, bw = 2, 4, 4
         data = {
