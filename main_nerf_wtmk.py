@@ -65,7 +65,7 @@ def main():
         dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
         grid_size=opt.grid_size, seed=opt.seed,
         train_budget=opt.train_budget, infer_budget=opt.infer_budget,
-        compact_frac=max(0.0, opt.compact_frac),
+        compact_frac=max(0.0, opt.compact_frac), t_cull=opt.t_cull,
     )
 
     trainer = WatermarkTrainer(

@@ -32,6 +32,7 @@ from .ops.grid import (
     init_occupancy_grid,
     mark_untrained_grid,
     num_cascades,
+    render_grid,
     update_occupancy_grid,
 )
 from .render.renderer import RenderConfig, render_rays_fixed, render_rays_occ
@@ -283,7 +284,8 @@ class NGPModel(_BaseModel):
                  density_scale=1.0, min_near=0.2, density_thresh=0.01,
                  bg_radius=-1.0, dt_gamma=0.0, max_steps=1024,
                  grid_size=128, seed=0, train_budget=128, infer_budget=256,
-                 num_steps=128, upsample_steps=0, compact_frac=0.0):
+                 num_steps=128, upsample_steps=0, compact_frac=0.0,
+                 t_cull=0.0):
         self.cfg = cfg or NGPConfig(
             bound=bound, density_scale=density_scale, bg_radius=bg_radius
         )
@@ -292,7 +294,7 @@ class NGPModel(_BaseModel):
             density_scale=density_scale, min_near=min_near, dt_gamma=dt_gamma,
             max_steps=max_steps, num_steps=num_steps,
             upsample_steps=upsample_steps, bg_radius=bg_radius,
-            compact_frac=compact_frac,
+            compact_frac=compact_frac, t_cull=t_cull,
         )
         super().__init__(rc, seed=seed, cuda_ray=cuda_ray,
                          train_budget=train_budget, infer_budget=infer_budget)
@@ -305,7 +307,8 @@ class NGPModel(_BaseModel):
     def _render_chunk(self, rays_o, rays_d, message, bg_color, perturb, budget):
         if self.use_occ:
             return _render_occ_clean(
-                self.params, self.occ.occupancy, rays_o, rays_d, bg_color,
+                self.params, render_grid(self.occ, self.rc.t_cull),
+                rays_o, rays_d, bg_color,
                 self._next_key(), self.cfg, self.rc, budget, perturb,
             )
         return _render_fixed_clean(
@@ -318,7 +321,8 @@ class NGPModel(_BaseModel):
             # fixed-step path keeps the python chunk loop
             raise NotImplementedError
         return _render_occ_clean_staged(
-            self.params, self.occ.occupancy, ro_chunks, rd_chunks, bg,
+            self.params, render_grid(self.occ, self.rc.t_cull),
+            ro_chunks, rd_chunks, bg,
             self.cfg, self.rc, budget,
         )
 
@@ -331,7 +335,8 @@ class WatermarkModel(_BaseModel):
                  message_dim=16, n_views=1, cuda_ray=True, density_scale=1.0,
                  min_near=0.2, density_thresh=0.01, bg_radius=-1.0,
                  dt_gamma=0.0, max_steps=1024, grid_size=128, seed=0,
-                 train_budget=128, infer_budget=256, compact_frac=0.0):
+                 train_budget=128, infer_budget=256, compact_frac=0.0,
+                 t_cull=0.0):
         self.wcfg = wcfg or WatermarkConfig(
             ngp=NGPConfig(
                 bound=bound, density_scale=density_scale, bg_radius=bg_radius
@@ -342,7 +347,7 @@ class WatermarkModel(_BaseModel):
             bound=self.wcfg.ngp.bound, grid_size=grid_size,
             density_scale=density_scale, min_near=min_near, dt_gamma=dt_gamma,
             max_steps=max_steps, bg_radius=bg_radius,
-            compact_frac=compact_frac,
+            compact_frac=compact_frac, t_cull=t_cull,
         )
         super().__init__(rc, seed=seed, cuda_ray=cuda_ray,
                          train_budget=train_budget, infer_budget=infer_budget)
@@ -368,7 +373,8 @@ class WatermarkModel(_BaseModel):
             else jnp.zeros((self.wcfg.message_dim,), jnp.int32)
         )
         return _render_occ_wtmk(
-            self.backbone, self.trainable, self.occ.occupancy, rays_o, rays_d,
+            self.backbone, self.trainable,
+            render_grid(self.occ, self.rc.t_cull), rays_o, rays_d,
             msg, bg_color, self._next_key(), self.wcfg, self.rc, budget,
             perturb, use_msg,
         )
@@ -381,6 +387,7 @@ class WatermarkModel(_BaseModel):
             else jnp.zeros((self.wcfg.message_dim,), jnp.int32)
         )
         return _render_occ_wtmk_staged(
-            self.backbone, self.trainable, self.occ.occupancy, ro_chunks,
+            self.backbone, self.trainable,
+            render_grid(self.occ, self.rc.t_cull), ro_chunks,
             rd_chunks, msg, bg, self.wcfg, self.rc, budget, use_msg,
         )

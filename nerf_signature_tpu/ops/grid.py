@@ -43,6 +43,29 @@ def num_cascades(bound):
     return 1 + max(0, math.ceil(math.log2(bound)))
 
 
+def render_grid(grid: OccupancyGrid, t_cull=0.0):
+    """The grid array to hand ``march_rays`` for a render/train step.
+
+    With ``t_cull == 0`` (default): the bool occupancy field, the exact
+    reference-parity selection.  With ``t_cull > 0``: a float32 grid that is
+    0 on unoccupied cells and the maintained (density_scale'd, decayed-max)
+    cell density on occupied ones — ``march_rays`` derives the SAME
+    occupancy test from it (occupied cells have density > thresh >= 0, and
+    ``mark_untrained_grid`` zeros flow through the occupancy mask) and
+    additionally accumulates it into the proxy transmittance that drives
+    the t_cull sample drop.  Same gather index count either way.
+    """
+    if not t_cull > 0:
+        return grid.occupancy
+    C = grid.density.shape[0]
+    H = grid.occupancy.shape[1]
+    return jnp.where(
+        grid.occupancy,
+        jnp.maximum(grid.density.reshape(C, H, H, H), 0.0),
+        0.0,
+    ).astype(jnp.float32)
+
+
 def init_occupancy_grid(bound, grid_size=128):
     C = num_cascades(bound)
     H = grid_size

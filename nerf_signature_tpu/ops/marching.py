@@ -195,13 +195,16 @@ def march_rays(
     group=4,
     coarse_factor=2,
     group_budget=None,
+    t_cull=0.0,
 ):
     """March N rays through the occupancy grid with a fixed sample budget.
 
     Args:
       rays_o, rays_d: [N, 3] (dirs need not be re-normalised; t is metric
         along d as in the reference).
-      occupancy: [C, H, H, H] bool.
+      occupancy: [C, H, H, H] bool — or float32 from
+        ``ops.grid.render_grid`` (0 = unoccupied, >0 = the maintained cell
+        density, already density_scale'd), which enables ``t_cull``.
       nears, fars: [N] from ``near_far_from_aabb``.
       budget: S — static per-ray sample budget after compaction.
       n_cand: candidate-grid length; default ``num_candidates(...)``.
@@ -220,10 +223,31 @@ def march_rays(
       group_budget: max coarse-occupied groups kept per ray (default
         ``max(64, budget // 2)`` — the surviving candidate set is 2x the
         sample budget).
+      t_cull: transmittance cull threshold (0 = off).  Requires a float
+        ``render_grid``: per-candidate optical depth ``cell_density * dt``
+        is accumulated along the ray (ascending t in both march paths) and
+        candidates whose PROXY entering transmittance drops below ``t_cull``
+        are dropped before compaction.  Rationale: ``composite_rays`` gives
+        samples entering at true T < T_thresh (1e-4) weight EXACTLY zero —
+        T is monotone, so every later sample is dead too and their
+        gradients are exactly zero — yet the field still pays full
+        forward+backward for them (measured 46% of samples on the trained
+        headline scene, scripts_dev/transmittance_probe.py).  The cell
+        density is a decayed-max proxy for the field (overestimates ->
+        premature cull is the bias direction), so set ``t_cull`` BELOW the
+        composite's T_thresh (e.g. 1e-6) to buffer it.  The reference's
+        inference kernel does the same early termination with exact sigmas
+        (``raymarching.cu`` composite break at T < 1e-4); the train-path
+        cull has no reference analogue and must stay off on
+        exactness-contract decode paths.
 
     Returns dict(xyzs [N,S,3], dirs [N,S,3], deltas [N,S], ts [N,S],
                  mask [N,S] bool, n_occupied [N] int32).
     """
+    if t_cull > 0 and jnp.issubdtype(occupancy.dtype, jnp.bool_):
+        raise ValueError(
+            "t_cull > 0 needs the float density render grid "
+            "(ops.grid.render_grid), not the bool occupancy field")
     H = occupancy.shape[1]
     if n_cand is None:
         n_cand = num_candidates(bound, max_steps, dt_gamma)
@@ -263,7 +287,7 @@ def march_rays(
         bound=bound, dt_gamma=dt_gamma, max_steps=max_steps, n_cand=n_cand,
         budget=budget, grid_size=grid_size, perturb_key=perturb_key,
         prefilter=prefilter, group=group, coarse_factor=coarse_factor,
-        group_budget=group_budget,
+        group_budget=group_budget, t_cull=float(t_cull),
     )
 
 
@@ -271,7 +295,7 @@ def march_rays(
     jax.jit,
     static_argnames=("bound", "dt_gamma", "max_steps", "n_cand", "budget",
                      "grid_size", "prefilter", "group", "coarse_factor",
-                     "group_budget"),
+                     "group_budget", "t_cull"),
 )
 def _march_rays_impl(
     rays_o,
@@ -291,6 +315,7 @@ def _march_rays_impl(
     group,
     coarse_factor,
     group_budget,
+    t_cull,
 ):
     C, H = occupancy.shape[0], occupancy.shape[1]
     assert H == grid_size
@@ -422,7 +447,20 @@ def _march_rays_impl(
             dts = jnp.take_along_axis(dts_all, cand, axis=-1)
 
     valid = (ts < fars[:, None]) & cand_extra_valid
-    occ = gather_occ_at(cand, ts, dts) & valid  # [N, K] bool
+    vals = gather_occ_at(cand, ts, dts)  # [N, K] bool, or float render grid
+    if jnp.issubdtype(vals.dtype, jnp.bool_):
+        occ = vals & valid
+    else:
+        occ = (vals > 0) & valid
+        if t_cull > 0:
+            # proxy entering transmittance from the maintained cell
+            # densities (candidates are ascending in t on both paths;
+            # sub-threshold cells are 0 in the render grid, which
+            # UNDERestimates tau -> keeps more -> conservative)
+            tau = jnp.where(occ, vals * dts, 0.0)
+            cum = jnp.cumsum(tau, axis=-1)
+            t_in = jnp.exp(tau - cum)
+            occ = occ & (t_in >= t_cull)
 
     # keep the first `budget` occupied candidates per ray, in order (the
     # candidate sequence is ascending in both paths: groups are selected in

@@ -61,6 +61,15 @@ class RenderConfig:
     # drop in-budget samples on speckled occupancy, the same silent-drop
     # class compact_frac=0 exists to rule out.
     prefilter: Optional[bool] = None
+    # Transmittance cull threshold (0 = off): drop samples whose proxy
+    # entering transmittance (accumulated from the maintained cell
+    # densities) is below this, BEFORE the field runs — samples entering at
+    # true T < T_thresh have exactly zero weight and zero gradient, so at
+    # t_cull << T_thresh this removes near-pure waste (measured 46% of
+    # samples on the trained headline scene).  Requires passing
+    # ``ops.grid.render_grid(occ, t_cull)`` as the march grid.  Keep 0 on
+    # exactness-contract decode paths.
+    t_cull: float = 0.0
 
 
 def render_rays_occ(
@@ -94,7 +103,7 @@ def render_rays_occ(
         rays_o, rays_d, occupancy, nears, fars,
         bound=rc.bound, dt_gamma=rc.dt_gamma, max_steps=rc.max_steps,
         n_cand=n_cand, budget=budget, grid_size=rc.grid_size,
-        perturb_key=perturb_key, prefilter=rc.prefilter,
+        perturb_key=perturb_key, prefilter=rc.prefilter, t_cull=rc.t_cull,
     )
     N, S = m["mask"].shape
 

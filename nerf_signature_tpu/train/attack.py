@@ -108,7 +108,8 @@ def attack_sweep(trainer, loader, attacks=None, n_test=50, batch=None):
     # samples silently
     # (and with the march pre-filter off, so group-budget truncation can't
     # drop in-budget samples either — decodes are exact up to the budget)
-    rc_eval = dataclasses.replace(m.rc, compact_frac=0.0, prefilter=False)
+    rc_eval = dataclasses.replace(m.rc, compact_frac=0.0, prefilter=False,
+                                  t_cull=0.0)
 
     def decode_batch(messages, keys, attack):
         blocks = _attack_render_batch(
@@ -200,10 +201,12 @@ def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
     rays_o = jnp.asarray(ct["rays_o"]).reshape(-1, 3)[:num_rays]
     rays_d = jnp.asarray(ct["rays_d"]).reshape(-1, 3)[:num_rays]
 
-    # adversary's target: the clean (message-free) render
+    # adversary's target: the clean (message-free) render.  t_cull stays off
+    # in the attack loops (they pass the bool occupancy field).
+    rc_atk = dataclasses.replace(m.rc, t_cull=0.0)
     clean_field = lambda x, d: wtmk_field(m.backbone, orig, m.wcfg, x, d, None)
     target = render_rays_occ(
-        clean_field, m.occ.occupancy, rays_o, rays_d, m.rc,
+        clean_field, m.occ.occupancy, rays_o, rays_d, rc_atk,
         budget=m.infer_budget, bg_color=1.0,
     )["image"]
 
@@ -216,7 +219,7 @@ def parameter_attack(trainer, loader, epsilon=1e-3, steps=100, lr=1e-3,
         )
         attacked, opt_state, loss = _param_attack_step(
             attacked, opt_state, msg, m.backbone, m.occ.occupancy, orig,
-            rays_o, rays_d, target, jnp.float32(epsilon), m.wcfg, m.rc,
+            rays_o, rays_d, target, jnp.float32(epsilon), m.wcfg, rc_atk,
             m.train_budget, opt.update,
         )
     trainer.log(f"[parameter_attack] eps={epsilon} steps={steps} "
@@ -294,7 +297,8 @@ def finetune_attack(trainer, loader, steps=100, lr=1e-3, num_rays=4096,
             target = jnp.asarray(ct["images"]).reshape(-1, 3)[:num_rays]
             tp, opt_state, loss = _finetune_attack_step(
                 tp, opt_state, rays_o, rays_d, target, orig_backbone,
-                m.trainable, m.occ.occupancy, m.wcfg, m.rc, m.infer_budget,
+                m.trainable, m.occ.occupancy, m.wcfg,
+                dataclasses.replace(m.rc, t_cull=0.0), m.infer_budget,
                 opt.update,
             )
             done += 1

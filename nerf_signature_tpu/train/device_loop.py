@@ -22,7 +22,7 @@ import optax
 
 from ..models.ngp import (exact_field_cfg, ngp_background, ngp_density,
                           ngp_field)
-from ..ops.grid import OccupancyGrid, update_occupancy_grid
+from ..ops.grid import OccupancyGrid, render_grid, update_occupancy_grid
 from ..render.renderer import render_rays_occ
 
 
@@ -187,8 +187,8 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                 if cfg.bg_radius > 0 else None
             )
             out = render_rays_occ(
-                field, occ.occupancy, rays_o, rays_d, rc, budget=budget,
-                bg_color=bg, perturb_key=kpert, bg_fn=bg_fn,
+                field, render_grid(occ, rc.t_cull), rays_o, rays_d, rc,
+                budget=budget, bg_color=bg, perturb_key=kpert, bg_fn=bg_fn,
             )
             err = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
             loss = jnp.mean(err)

@@ -30,6 +30,7 @@ import optax
 
 from ..api import NGPModel
 from ..models.ngp import ngp_background, ngp_field
+from ..ops.grid import render_grid
 from ..render.renderer import render_rays_occ
 from .checkpoint import (
     latest_checkpoint,
@@ -474,7 +475,8 @@ class Trainer:
         rays_o = jnp.asarray(data["rays_o"]).reshape(-1, 3)
         rays_d = jnp.asarray(data["rays_d"]).reshape(-1, 3)
         (m.params, self.ema_params, self.opt_state, loss) = self._clip_step(
-            m.params, self.ema_params, self.opt_state, m.occ.occupancy,
+            m.params, self.ema_params, self.opt_state,
+            render_grid(m.occ, m.rc.t_cull),
             self._clip.params, self._clip.text_features,
             rays_o, rays_d, m._next_key(),
         )
@@ -501,7 +503,7 @@ class Trainer:
         rays_o = jnp.asarray(data["rays_o"]).reshape(-1, 3)
         rays_d = jnp.asarray(data["rays_d"]).reshape(-1, 3)
         images_dev = jnp.asarray(images)
-        occupancy = m.occ.occupancy
+        occupancy = render_grid(m.occ, m.rc.t_cull)
         if self.mesh is not None:
             from ..parallel.multihost import put_global
 

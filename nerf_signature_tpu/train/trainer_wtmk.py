@@ -39,6 +39,7 @@ from ..models.hidden import hidden_decoder_apply, normalize_img
 from ..models.message import msg_effective_table
 from ..models.ngp import ngp_background
 from ..models.watermark import wtmk_field
+from ..ops.grid import render_grid
 from ..render.renderer import render_rays_occ
 from ..utils.image import distortion_layer
 from .checkpoint import (
@@ -636,7 +637,8 @@ class WatermarkTrainer:
             ct_o, ct_d, ct_gt = put(ct_o), put(ct_d), put(ct_gt)
         (m.trainable, self.opt_state, loss, lossw, lossi, decoded
          ) = _wtmk_train_step(
-            m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
+            m.backbone, m.trainable, self.opt_state,
+            render_grid(m.occ, m.rc.t_cull),
             jnp.asarray(ro_b), jnp.asarray(rd_b),
             ct_o, ct_d, ct_gt,
             jnp.asarray(message), m._next_key(),
@@ -752,7 +754,8 @@ class WatermarkTrainer:
                 k = min(k, max_steps - self.global_step)
             (m.trainable, self.opt_state, losses, lossws, lossis
              ) = _wm_device_loop(
-                m.backbone, m.trainable, self.opt_state, m.occ.occupancy,
+                m.backbone, m.trainable, self.opt_state,
+                render_grid(m.occ, m.rc.t_cull),
                 ro_b, rd_b, poses, images, intr, m._next_key(),
                 jnp.float32(self.lambda_w), jnp.float32(self.lambda_i),
                 self.wcfg_train, m.rc, self.content_budget, m.infer_budget,
@@ -862,7 +865,7 @@ class WatermarkTrainer:
         group_budget groups (speckled occupancy) — decodes must be exact up
         to the sample budget ONLY."""
         return dataclasses.replace(self.model.rc, compact_frac=0.0,
-                                    prefilter=False)
+                                    prefilter=False, t_cull=0.0)
 
     def eval_blocks(self, wm, message, distortion=None):
         m = self.model

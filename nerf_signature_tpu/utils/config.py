@@ -112,6 +112,17 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "occupancy — measured 2.43x on the training "
                              "step at converged-scene fill, PERF.md)")
     parser.add_argument("--grid_size", type=int, default=128)
+    parser.add_argument("--t_cull", type=float, default=0.0,
+                        help="transmittance cull threshold (0 = off): the "
+                             "march drops samples whose PROXY entering "
+                             "transmittance (accumulated from the occupancy "
+                             "grid's cell densities) falls below this — "
+                             "samples entering at true T < 1e-4 carry "
+                             "exactly zero weight AND zero gradient, so a "
+                             "conservative 1e-6 removes near-pure waste "
+                             "(measured 46%% of samples on the trained "
+                             "headline scene). Ownership decodes and attack "
+                             "sweeps always run with the cull off.")
     parser.add_argument("--devices", type=int, default=0,
                         help="shard rays over N devices (0 = all available)")
     parser.add_argument("--mesh_resolution", type=int, default=256)

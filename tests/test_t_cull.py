@@ -1,0 +1,175 @@
+"""Transmittance cull (``t_cull``): exactness contracts and bias bounds.
+
+The cull drops samples whose PROXY entering transmittance — accumulated
+from the occupancy grid's maintained cell densities along the candidate
+sequence — falls below ``t_cull``.  Samples entering at TRUE T < T_thresh
+carry weight exactly zero in ``composite_rays`` (T is monotone, so the
+whole suffix is dead and its gradients are exactly zero), so with the proxy
+equal to the true density and ``t_cull <= T_thresh`` the cull changes the
+rendered image not at all; these tests pin that, the float-grid == bool
+-grid no-cull identity, the prefix-subset property of the culled sample
+selection, and the exactness-path guard (bool grid + t_cull raises).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_signature_tpu.ops.grid import OccupancyGrid, render_grid
+from nerf_signature_tpu.ops.intersect import near_far_from_aabb
+from nerf_signature_tpu.ops.marching import march_rays
+from nerf_signature_tpu.render.renderer import RenderConfig, render_rays_occ
+
+
+def _rand_rays(rng, n, bound):
+    o = rng.normal(size=(n, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * (bound * 2.0)
+    target = rng.uniform(-bound * 0.5, bound * 0.5, size=(n, 3))
+    d = target - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def _ball_grid(H=64, density=100.0, bound=1.0):
+    """OccupancyGrid with a centred dense ball (C == 1)."""
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    inside = (X * X + Y * Y + Z * Z) < 0.45**2
+    dens = np.where(inside, density, 0.0).astype(np.float32)
+    return OccupancyGrid(
+        density=jnp.asarray(dens.reshape(1, -1)),
+        occupancy=jnp.asarray(inside[None]),
+        mean_density=jnp.float32(dens.mean()),
+        iter_density=jnp.int32(16),
+    )
+
+
+def _march(grid_arr, o, d, bound, **kw):
+    aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+    return march_rays(o, d, grid_arr, nears, fars, bound=bound,
+                      grid_size=grid_arr.shape[1], **kw)
+
+
+def test_render_grid_dtypes():
+    g = _ball_grid()
+    assert render_grid(g, 0.0) is g.occupancy
+    f = render_grid(g, 1e-6)
+    assert f.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(f > 0), np.asarray(g.occupancy))
+    occ = np.asarray(g.occupancy)
+    np.testing.assert_allclose(
+        np.asarray(f)[occ],
+        np.asarray(g.density).reshape(occ.shape)[occ],
+    )
+
+
+def test_bool_grid_with_t_cull_raises():
+    g = _ball_grid()
+    o, d = _rand_rays(np.random.default_rng(0), 4, 1.0)
+    with pytest.raises(ValueError):
+        _march(g.occupancy, o, d, 1.0, t_cull=1e-6)
+
+
+@pytest.mark.parametrize("prefilter", [False, None])
+def test_float_grid_no_cull_matches_bool(prefilter):
+    """t_cull == 0 on the float render grid selects identically to bool."""
+    g = _ball_grid(density=3.0)
+    o, d = _rand_rays(np.random.default_rng(1), 32, 1.0)
+    kw = dict(max_steps=256, budget=64, prefilter=prefilter)
+    a = _march(g.occupancy, o, d, 1.0, **kw)
+    b = _march(render_grid(g, 1e-6), o, d, 1.0, t_cull=0.0, **kw)
+    for k in ("mask", "ts", "deltas", "n_occupied"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+@pytest.mark.parametrize("prefilter", [False, None])
+def test_cull_is_prefix_of_uncull_and_thresholded(prefilter):
+    """Culled selection == the uncull selection filtered by proxy T.
+
+    Budget is large enough that neither march truncates, so the uncull
+    selection is ALL occupied candidates and the proxy transmittance can be
+    recomputed from its output alone.
+    """
+    g = _ball_grid(H=64, density=200.0)  # tau ~2.7/step: saturates fast
+    o, d = _rand_rays(np.random.default_rng(2), 24, 1.0)
+    t_cull = 1e-6
+    kw = dict(max_steps=256, budget=256, prefilter=prefilter)
+    full = _march(render_grid(g, t_cull), o, d, 1.0, t_cull=0.0, **kw)
+    cull = _march(render_grid(g, t_cull), o, d, 1.0, t_cull=t_cull, **kw)
+
+    fm = np.asarray(full["mask"])
+    assert fm.sum(1).max() < 256, "budget must not truncate for this test"
+    # proxy entering T from the full selection (density is constant inside
+    # the ball, so cell lookup == the grid value at each selected sample)
+    tau = np.where(fm, 200.0 * np.asarray(full["deltas"]), 0.0)
+    t_in = np.exp(tau - np.cumsum(tau, axis=1))
+    keep = fm & (t_in >= t_cull)
+
+    cm = np.asarray(cull["mask"])
+    assert cm.sum() == keep.sum()
+    assert cm.sum() < fm.sum(), "the dense ball must actually cull"
+    # kept samples are the same t values, packed to the front per ray
+    for i in range(fm.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(cull["ts"])[i, cm[i]],
+            np.asarray(full["ts"])[i, keep[i]],
+            rtol=0, atol=0,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(cull["n_occupied"]), keep.sum(1).astype(np.int32)
+    )
+
+
+def test_cull_render_matches_exact_when_proxy_is_true_density():
+    """End-to-end: with the field density equal to the grid density and
+    t_cull <= composite T_thresh, the culled render equals the exact one —
+    the culled samples all had weight exactly zero."""
+    density = 200.0
+    g = _ball_grid(H=64, density=density)
+    occ_np = np.asarray(g.occupancy)[0]
+    H = occ_np.shape[0]
+
+    def field(x, d):
+        # piecewise-constant field that matches the grid cells exactly
+        idx = jnp.clip(((x + 1.0) * 0.5 * H).astype(jnp.int32), 0, H - 1)
+        flat = idx[:, 0] * H * H + idx[:, 1] * H + idx[:, 2]
+        inside = jnp.asarray(occ_np.reshape(-1))[flat]
+        sigma = jnp.where(inside, density, 0.0)
+        rgb = jnp.broadcast_to(
+            jnp.array([0.8, 0.2, 0.1], jnp.float32), (x.shape[0], 3)
+        )
+        return sigma, rgb
+
+    o, d = _rand_rays(np.random.default_rng(3), 32, 1.0)
+    rc = RenderConfig(bound=1.0, grid_size=64, max_steps=256, min_near=0.05)
+    exact = render_rays_occ(field, g.occupancy, o, d, rc, budget=256)
+    rc_cull = dataclasses.replace(rc, t_cull=1e-6)
+    culled = render_rays_occ(
+        field, render_grid(g, 1e-6), o, d, rc_cull, budget=256
+    )
+    np.testing.assert_allclose(
+        np.asarray(exact["image"]), np.asarray(culled["image"]),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(exact["weights_sum"]), np.asarray(culled["weights_sum"]),
+        rtol=0, atol=1e-5,
+    )
+    # and the cull actually removed work
+    assert (np.asarray(culled["n_occupied"]).sum()
+            < np.asarray(exact["n_occupied"]).sum())
+
+
+def test_low_optical_depth_scene_never_culls():
+    """A thin scene never reaches the cull threshold: byte-identical render."""
+    g = _ball_grid(H=64, density=0.05)
+    o, d = _rand_rays(np.random.default_rng(4), 16, 1.0)
+    kw = dict(max_steps=256, budget=128)
+    a = _march(render_grid(g, 1e-6), o, d, 1.0, t_cull=0.0, **kw)
+    b = _march(render_grid(g, 1e-6), o, d, 1.0, t_cull=1e-6, **kw)
+    for k in ("mask", "ts", "deltas", "n_occupied"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
