@@ -40,7 +40,32 @@ BASELINE_RAYS_PER_SEC = 4.0e5  # 2x A100 torch-ngp estimate (see docstring)
 N_STEPS = int(os.environ.get("BENCH_STEPS", "8"))  # per dispatch (pre-clamp)
 
 
+def make_ball_images(poses, intrinsics, H, W):
+    """Synthetic textured-ball RGBA views (the bench scene) for given poses."""
+    from nerf_signature_tpu.data.rays import get_rays
+
+    images = []
+    for p in poses:
+        rays = get_rays(p[None], intrinsics, H, W, -1)
+        o, d = rays["rays_o"][0], rays["rays_d"][0]
+        b = np.sum(o * d, -1)
+        c = np.sum(o * o, -1) - 0.4**2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        pt = o + t[..., None] * d
+        rgba = np.zeros((o.shape[0], 4), np.float32)
+        rgba[:, 0] = np.where(hit, 0.6 + 0.4 * np.sin(8 * pt[:, 0]), 0)
+        rgba[:, 1] = np.where(hit, 0.5 + 0.5 * np.cos(7 * pt[:, 1]), 0)
+        rgba[:, 2] = np.where(hit, 0.3, 0)
+        rgba[:, 3] = hit
+        images.append(np.clip(rgba, 0, 1))
+    return np.stack(images)
+
+
 def main():
+    if os.environ.get("BENCH_MATRIX") == "1":
+        return run_matrix()
     from nerf_signature_tpu.data.rays import get_rays, rand_poses
     from nerf_signature_tpu.models.ngp import NGPConfig, init_ngp_params
     from nerf_signature_tpu.ops.grid import init_occupancy_grid
@@ -55,6 +80,12 @@ def main():
     cfg = NGPConfig(
         bound=1.0, compute_dtype=jnp.bfloat16,
         stochastic_hash_grad=os.environ.get("BENCH_EXACT") != "1",
+        # BENCH_LEVELS / BENCH_FEATURES: table-geometry A/B at the same
+        # enc_dim (e.g. 8x4 or 4x8 vs the reference's 16x2) — halving levels
+        # halves BOTH the dominant forward-gather and backward-scatter index
+        # counts exactly, with zero estimator variance (VERDICT r4 #1b).
+        n_levels=int(os.environ.get("BENCH_LEVELS", "16")),
+        n_features=int(os.environ.get("BENCH_FEATURES", "2")),
         # BENCH_LEVEL_STRIDE=2: backward hash-gradient level subsampling
         # (unbiased; halves the step's largest term — see PERF.md round 3)
         hash_level_stride=int(os.environ.get("BENCH_LEVEL_STRIDE", "1")),
@@ -79,6 +110,12 @@ def main():
     rc = RenderConfig(
         bound=1.0, grid_size=128, max_steps=1024,
         compact_frac=float(os.environ.get("BENCH_COMPACT", "0.25")),
+        # BENCH_T_CULL: march-time transmittance cull (exact-gradient
+        # population lever — samples entering at proxy T below the threshold
+        # have exactly zero weight AND gradient in the composite, measured
+        # 46% of samples on a trained scene; ops/marching.py t_cull).
+        # Train-step only: eval/decode paths pin t_cull=0.
+        t_cull=float(os.environ.get("BENCH_T_CULL", "0")),
     )
     n_rays, budget = 4096, 128
     H = W = 256
@@ -96,23 +133,7 @@ def main():
     rng = np.random.default_rng(0)
     poses = rand_poses(rng, n_poses, radius=1.8)
     intrinsics = np.array([W / 1.2, W / 1.2, W / 2, H / 2], np.float32)
-    images = []
-    for p in poses:
-        rays = get_rays(p[None], intrinsics, H, W, -1)
-        o, d = rays["rays_o"][0], rays["rays_d"][0]
-        b = np.sum(o * d, -1)
-        c = np.sum(o * o, -1) - 0.4**2
-        disc = b * b - c
-        hit = disc > 0
-        t = -b - np.sqrt(np.maximum(disc, 0))
-        pt = o + t[..., None] * d
-        rgba = np.zeros((o.shape[0], 4), np.float32)
-        rgba[:, 0] = np.where(hit, 0.6 + 0.4 * np.sin(8 * pt[:, 0]), 0)
-        rgba[:, 1] = np.where(hit, 0.5 + 0.5 * np.cos(7 * pt[:, 1]), 0)
-        rgba[:, 2] = np.where(hit, 0.3, 0)
-        rgba[:, 3] = hit
-        images.append(np.clip(rgba, 0, 1))
-    images = jnp.asarray(np.stack(images))          # [P, H*W, 4]
+    images = jnp.asarray(make_ball_images(poses, intrinsics, H, W))
     poses_d = jnp.asarray(poses)
     intr_d = jnp.asarray(intrinsics)
 
@@ -162,14 +183,19 @@ def main():
         from nerf_signature_tpu.models.ngp import exact_field_cfg
 
         # renders are ALWAYS exact 8-corner interpolation, even when the
-        # train loop above ran the BENCH_FWD_CORNERS=1 subsampled forward
+        # train loop above ran the BENCH_FWD_CORNERS=1 subsampled forward —
+        # and always exact marching (t_cull pinned 0, matching the api
+        # render paths' exactness contract)
+        import dataclasses as _dc
+
         cfg_eval = exact_field_cfg(cfg)
+        rc_eval = _dc.replace(rc, t_cull=0.0) if rc.t_cull else rc
         rays = get_rays(poses[:1], intrinsics, H, W, -1)
         ro = np.asarray(rays["rays_o"][0].reshape(-1, 4, 4096, 3))
         rd = np.asarray(rays["rays_d"][0].reshape(-1, 4, 4096, 3))
         render = functools.partial(
             _render_occ_clean_staged, params, occ.occupancy,
-            bg_color=1.0, cfg=cfg_eval, rc=rc, budget=128,
+            bg_color=1.0, cfg=cfg_eval, rc=rc_eval, budget=128,
         )
         float(jnp.sum(render(
             rays_o_chunks=jnp.asarray(ro[0]), rays_d_chunks=jnp.asarray(rd[0])
@@ -227,9 +253,16 @@ def main():
             [rd[i * bh:(i + 1) * bh, :bw] for i in range(D)]))
         imgs3 = images[..., :3]
 
+        # the wm step marches with the same t_cull as the clean step (in-step
+        # block/content renders are train-time; ownership DECODE paths pin
+        # t_cull=0 in the trainer)
+        from nerf_signature_tpu.ops.grid import render_grid
+
+        wm_grid = render_grid(occ, rc.t_cull)
+
         def run_wm(trainable, state, key):
             return _wm_device_loop(
-                backbone, trainable, state, occ.occupancy, ro_b, rd_b,
+                backbone, trainable, state, wm_grid, ro_b, rd_b,
                 poses_d, imgs3, intr_d, key, jnp.float32(0.005),
                 jnp.float32(1.0), wcfg, rc, budget, budget,
                 wm_opt.update, "none", "bce", n_steps, n_rays, H, W,
@@ -264,6 +297,148 @@ def main():
         record["render_rays_per_sec"] = round(render_rps, 1)
     if wm_rps is not None:
         record["wm_train_rays_per_sec"] = round(wm_rps, 1)
+    print(json.dumps(record))
+
+
+def run_matrix():
+    """``BENCH_MATRIX=1``: throughput sweep {fresh vs converged occupancy}
+    x {budget 64/128/256} x {cascade 1/2 (dt_gamma 0 / 1-128)}, plus a
+    marginal-fit TRANSPORT-FREE staged-render rate (VERDICT r4 next #4:
+    the single-cell bench is occupancy- and budget-sensitive by
+    construction; this pins how the rate generalises, and separates the
+    ~20%% per-dispatch relay tax from the chip render rate the way the
+    train side's marginal fit does).  Prints ONE JSON line."""
+    import functools
+
+    from nerf_signature_tpu.api import _render_occ_clean_staged
+    from nerf_signature_tpu.data.rays import get_rays, rand_poses
+    from nerf_signature_tpu.models.ngp import (
+        NGPConfig, exact_field_cfg, init_ngp_params,
+    )
+    from nerf_signature_tpu.ops.grid import init_occupancy_grid
+    from nerf_signature_tpu.render.renderer import RenderConfig
+    from nerf_signature_tpu.train.device_loop import device_train_loop
+    from nerf_signature_tpu.train.trainer import make_optimizer
+    from nerf_signature_tpu.utils.dispatch import max_scan_steps
+
+    n_rays = 4096
+    H = W = 256
+    n_steps = max_scan_steps(N_STEPS)
+    intrinsics = np.array([W / 1.2, W / 1.2, W / 2, H / 2], np.float32)
+    copy = functools.partial(jax.tree_util.tree_map, jnp.copy)
+    cells = []
+    render_stats = None
+
+    for bound, dt_gamma in ((1.0, 0.0), (2.0, 1.0 / 128)):
+        rng = np.random.default_rng(0)
+        cfg = NGPConfig(bound=bound, compute_dtype=jnp.bfloat16,
+                        stochastic_hash_grad=True)
+        rc = RenderConfig(
+            bound=bound, grid_size=128, max_steps=1024, dt_gamma=dt_gamma,
+            compact_frac=float(os.environ.get("BENCH_COMPACT", "0.25")),
+            t_cull=float(os.environ.get("BENCH_T_CULL", "0")),
+        )
+        poses = rand_poses(rng, 16, radius=1.8)
+        images = jnp.asarray(make_ball_images(poses, intrinsics, H, W))
+        poses_d, intr_d = jnp.asarray(poses), jnp.asarray(intrinsics)
+        optimizer = make_optimizer(1e-2, 30000)
+
+        params = init_ngp_params(jax.random.PRNGKey(0), cfg)
+        opt_state = optimizer.init(params)
+        ema = copy(params)
+        occ = init_occupancy_grid(bound, rc.grid_size)
+
+        def run(params, ema, opt_state, occ, key, step0, budget):
+            return device_train_loop(
+                params, ema, opt_state, occ, poses_d, images, intr_d, key,
+                step0, cfg, rc, budget, optimizer.update, True, 0.95,
+                n_steps, n_rays, H, W,
+            )
+
+        # one dispatch from scratch -> young-grid snapshot ("fresh": the
+        # early-training occupancy regime, before pruning has bitten)
+        out = run(params, ema, opt_state, occ, jax.random.PRNGKey(1), 0, 128)
+        params, ema, opt_state, occ = out[:4]
+        np.asarray(out[4])
+        occ_fresh = copy(occ)
+        # train on so the grid prunes toward the converged regime
+        n_conv = int(os.environ.get("BENCH_MATRIX_CONV_DISPATCHES", "12"))
+        for i in range(n_conv):
+            out = run(params, ema, opt_state, occ, jax.random.PRNGKey(2 + i),
+                      (1 + i) * n_steps, 128)
+            params, ema, opt_state, occ = out[:4]
+        np.asarray(out[4])
+
+        for occ_name, occ_s in (("fresh", occ_fresh), ("converged", occ)):
+            frac = float(jnp.mean(occ_s.occupancy.astype(jnp.float32)))
+            for budget in (64, 128, 256):
+                # step0 === 1 (mod 16): no grid maintenance inside the timed
+                # dispatch, matching the default bench's timed window
+                o = run(copy(params), copy(ema), copy(opt_state),
+                        copy(occ_s), jax.random.PRNGKey(91), 16001, budget)
+                np.asarray(o[4])  # compile + warm
+                t0 = time.perf_counter()
+                o = run(copy(params), copy(ema), copy(opt_state),
+                        copy(occ_s), jax.random.PRNGKey(92), 16001, budget)
+                losses = np.asarray(o[4])
+                dt = time.perf_counter() - t0
+                assert np.isfinite(losses).all()
+                cells.append({
+                    "cascade_bound": bound, "dt_gamma": round(dt_gamma, 6),
+                    "occ": occ_name, "occ_frac": round(frac, 4),
+                    "budget": budget,
+                    "train_rays_per_sec": round(n_rays * n_steps / dt, 1),
+                })
+
+        if bound == 1.0:
+            # transport-free staged-render rate: time G group-dispatches
+            # (4 chunks x 4096 rays each) for G in {1, 2, 4}, least-squares
+            # the slope -> per-group chip time with the per-dispatch relay
+            # tax in the intercept (the train side's marginal-fit protocol)
+            cfg_eval = exact_field_cfg(cfg)
+            rc_eval = (rc if rc.t_cull == 0 else
+                       __import__("dataclasses").replace(rc, t_cull=0.0))
+            rays = get_rays(poses[:1], intrinsics, H, W, -1)
+            ro = np.asarray(rays["rays_o"][0].reshape(-1, 4, 4096, 3))
+            rd = np.asarray(rays["rays_d"][0].reshape(-1, 4, 4096, 3))
+            render = functools.partial(
+                _render_occ_clean_staged, params, occ.occupancy,
+                bg_color=1.0, cfg=cfg_eval, rc=rc_eval, budget=128,
+            )
+            float(jnp.sum(render(rays_o_chunks=jnp.asarray(ro[0]),
+                                 rays_d_chunks=jnp.asarray(rd[0]))[0]))
+            xs, ys = [], []
+            for _ in range(2):
+                for g_count in (1, 2, 4):
+                    t0 = time.perf_counter()
+                    s = 0.0
+                    for g in range(g_count):
+                        s += float(jnp.sum(render(
+                            rays_o_chunks=jnp.asarray(ro[g]),
+                            rays_d_chunks=jnp.asarray(rd[g]))[0]))
+                    xs.append(g_count)
+                    ys.append(time.perf_counter() - t0)
+                    assert np.isfinite(s)
+            slope, intercept = np.polyfit(np.asarray(xs, np.float64),
+                                          np.asarray(ys, np.float64), 1)
+            render_stats = {
+                "render_rays_per_group": 4 * 4096,
+                "render_marginal_s_per_group": round(float(slope), 4),
+                "render_dispatch_tax_s": round(float(intercept), 4),
+                "render_rays_per_sec_transport_free":
+                    round(4 * 4096 / float(slope), 1),
+            }
+
+    best = max(c["train_rays_per_sec"] for c in cells)
+    record = {
+        "metric": "train_rays_per_sec_matrix_best",
+        "value": best,
+        "unit": "rays/s",
+        "vs_baseline": round(best / BASELINE_RAYS_PER_SEC, 3),
+        "matrix": cells,
+    }
+    if render_stats:
+        record.update(render_stats)
     print(json.dumps(record))
 
 

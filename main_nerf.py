@@ -43,6 +43,8 @@ def main():
         stochastic_hash_grad=opt.stochastic_hash_grad,
         hash_level_stride=opt.hash_level_stride,
         dense_coarse=opt.dense_coarse,
+        n_levels=opt.n_levels,
+        n_features=opt.n_features,
     )
     model = NGPModel(
         cfg, cuda_ray=opt.cuda_ray, min_near=opt.min_near,

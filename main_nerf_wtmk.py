@@ -50,6 +50,8 @@ def main():
             stochastic_hash_grad=opt.stochastic_hash_grad,
             hash_level_stride=opt.hash_level_stride,
             dense_coarse=opt.dense_coarse,
+            n_levels=opt.n_levels,
+            n_features=opt.n_features,
         ),
         message_dim=opt.message_dim,
         n_views=opt.n_views,

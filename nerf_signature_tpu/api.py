@@ -7,6 +7,7 @@ State held here (params pytree, occupancy grid, PRNG) is plain data; every
 method dispatches to a cached ``jax.jit`` specialised on the static config.
 """
 
+import dataclasses
 import functools
 
 
@@ -158,6 +159,16 @@ class _BaseModel:
     def __init__(self, rc: RenderConfig, seed=0, cuda_ray=True,
                  train_budget=128, infer_budget=256):
         self.rc = rc
+        # Eval/test/pseudo-GT renders are pinned EXACT: rc.t_cull is a
+        # train-step-only population lever (the cull's proxy transmittance
+        # comes from decayed-MAX cell densities that overestimate the live
+        # field, so culled eval renders could drop samples whose true
+        # entering T is still >= T_thresh — a divergence from the
+        # reference's exact-sigma early termination).  Renders therefore
+        # march the plain bool occupancy (render_grid at t_cull=0 — also
+        # removes the per-chunk float-grid rebuild in the chunk loop).
+        self.rc_eval = (dataclasses.replace(rc, t_cull=0.0)
+                        if rc.t_cull else rc)
         self.cascade = num_cascades(rc.bound)
         self.use_occ = cuda_ray  # "cuda_ray" flag == occupancy-grid path
         self.key = jax.random.PRNGKey(seed)
@@ -307,9 +318,9 @@ class NGPModel(_BaseModel):
     def _render_chunk(self, rays_o, rays_d, message, bg_color, perturb, budget):
         if self.use_occ:
             return _render_occ_clean(
-                self.params, render_grid(self.occ, self.rc.t_cull),
+                self.params, render_grid(self.occ, self.rc_eval.t_cull),
                 rays_o, rays_d, bg_color,
-                self._next_key(), self.cfg, self.rc, budget, perturb,
+                self._next_key(), self.cfg, self.rc_eval, budget, perturb,
             )
         return _render_fixed_clean(
             self.params, rays_o, rays_d, bg_color, self._next_key(),
@@ -321,9 +332,9 @@ class NGPModel(_BaseModel):
             # fixed-step path keeps the python chunk loop
             raise NotImplementedError
         return _render_occ_clean_staged(
-            self.params, render_grid(self.occ, self.rc.t_cull),
+            self.params, render_grid(self.occ, self.rc_eval.t_cull),
             ro_chunks, rd_chunks, bg,
-            self.cfg, self.rc, budget,
+            self.cfg, self.rc_eval, budget,
         )
 
 
@@ -374,8 +385,8 @@ class WatermarkModel(_BaseModel):
         )
         return _render_occ_wtmk(
             self.backbone, self.trainable,
-            render_grid(self.occ, self.rc.t_cull), rays_o, rays_d,
-            msg, bg_color, self._next_key(), self.wcfg, self.rc, budget,
+            render_grid(self.occ, self.rc_eval.t_cull), rays_o, rays_d,
+            msg, bg_color, self._next_key(), self.wcfg, self.rc_eval, budget,
             perturb, use_msg,
         )
 
@@ -388,6 +399,6 @@ class WatermarkModel(_BaseModel):
         )
         return _render_occ_wtmk_staged(
             self.backbone, self.trainable,
-            render_grid(self.occ, self.rc.t_cull), ro_chunks,
-            rd_chunks, msg, bg, self.wcfg, self.rc, budget, use_msg,
+            render_grid(self.occ, self.rc_eval.t_cull), ro_chunks,
+            rd_chunks, msg, bg, self.wcfg, self.rc_eval, budget, use_msg,
         )

@@ -60,8 +60,10 @@ class NGPConfig:
     hash_level_stride: int = 1
     # Forward corner subsampling: 8 = exact trilinear (default); 1 = gather
     # only the weight-sampled corner per (level, sample) — an unbiased
-    # one-sample estimate of the interpolated feature with 8x fewer forward
+    # one-sample estimate of the interpolated FEATURE with 8x fewer forward
     # gather rows (the train step's largest engine term, PERF.md round 3/4).
+    # The loss gradient is of the estimator and is biased through the
+    # nonlinear field (measured ~1 dB at equal wall-clock, PERF.md round 4).
     # TRAIN-STEP ONLY: trainers thread replace(cfg, hash_fwd_corners=k) into
     # their step functions; every eval/render path keeps the model's own cfg
     # (this default), so renders stay exact.  Requires stochastic_hash_grad.

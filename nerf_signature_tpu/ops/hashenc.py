@@ -357,13 +357,17 @@ def _hash_encode_impl(x, table, resolutions, log2_hashmap_size,
             # corner the stochastic backward already chooses.  The output is
             # a one-sample importance estimate of the trilinear sum
             # (corner c picked w.p. cw_c, estimator = cw_c * row_c / cw_c =
-            # row_c — unbiased over the position-hash bits), with 8x fewer
-            # forward gather rows: the train step's LARGEST engine term
-            # (~67 ms of 8-corner row gathers at headline shapes, PERF.md
-            # round 3).  The VJP is the exact gradient OF THE ESTIMATOR
-            # (scatter the cotangent at the chosen row), so the training
-            # signal stays unbiased.  Train-step only — eval paths keep the
-            # exact 8-corner interpolation (see NGPConfig.hash_fwd_corners).
+            # row_c — an unbiased FEATURE estimate over the position-hash
+            # bits), with 8x fewer forward gather rows: the train step's
+            # LARGEST engine term (~67 ms of 8-corner row gathers at headline
+            # shapes, PERF.md round 3).  The VJP is the exact gradient OF THE
+            # ESTIMATOR (scatter the cotangent at the chosen row).  NB the
+            # LOSS gradient is NOT unbiased: the sigma/color MLPs and the
+            # exponential compositing are nonlinear in the feature, so
+            # E[grad L(feat_hat)] != grad L(E[feat_hat]) — measured ~1 dB
+            # equal-walltime cost (PERF.md round 4), which is why this stays
+            # opt-in.  Train-step only — eval paths keep the exact 8-corner
+            # interpolation (see NGPConfig.hash_fwd_corners).
             interp = _make_interp_stochastic(
                 table.shape[0], F, table.dtype.name, gd, 1, eff_stride,
             )

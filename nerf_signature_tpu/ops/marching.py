@@ -265,6 +265,10 @@ def march_rays(
         # test-scale shapes.
         gb_env = env.get("NGP_MARCH_GROUP_BUDGET")
         group_budget = int(gb_env) if gb_env else max(64, budget // 2)
+    # n_groups here must agree with _march_rays_impl's ``n_cand // group``
+    # (no clamp there): requiring ``n_cand >= group`` for the prefilter keeps
+    # the two in sync — a sub-group candidate grid (n_cand < group) always
+    # takes the unfiltered path, never a zero-group reshape.
     n_groups = max(n_cand // group, 1)
     group_budget = min(group_budget, n_groups)
     pf_env = env.get("NGP_MARCH_PREFILTER", "auto")
@@ -279,7 +283,7 @@ def march_rays(
             and H % coarse_factor == 0
             and H // coarse_factor >= 16
         )
-    prefilter = bool(prefilter and n_cand % group == 0
+    prefilter = bool(prefilter and n_cand % group == 0 and n_cand >= group
                      and H % coarse_factor == 0 and H // coarse_factor >= 2)
 
     return _march_rays_impl(

@@ -92,10 +92,21 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="forward hash-gather corner count INSIDE the "
                              "train step only (8=exact trilinear; 1=gather "
                              "only the weight-sampled corner — unbiased "
-                             "one-sample estimate, ~8x fewer forward gather "
-                             "rows, the step's largest engine term; needs "
-                             "--stochastic_hash_grad; eval/render/decode "
-                             "paths always stay exact; both trainers)")
+                             "FEATURE estimate, ~8x fewer forward gather "
+                             "rows; the loss gradient is of the estimator "
+                             "and biased through the nonlinear field — "
+                             "measured ~1 dB at equal wall-clock, PERF.md; "
+                             "needs --stochastic_hash_grad; eval/render/"
+                             "decode paths always stay exact; both trainers)")
+    parser.add_argument("--n_levels", type=int, default=16,
+                        help="hash-encoding level count (reference default "
+                             "16, hash_encoding.py:60); with --n_features "
+                             "this sets the table geometry — e.g. 8 levels x "
+                             "4 features keeps the 32-feature encoding width "
+                             "but halves the per-sample gather/scatter index "
+                             "counts (the measured step wall, PERF.md)")
+    parser.add_argument("--n_features", type=int, default=2,
+                        help="features per hash level (reference default 2)")
     parser.add_argument("--dense_coarse", action="store_true",
                         help="tcnn-style dense (collision-free, spatially "
                              "ordered) storage for coarse hash levels — "
