@@ -117,7 +117,11 @@ def main():
         # Train-step only: eval/decode paths pin t_cull=0.
         t_cull=float(os.environ.get("BENCH_T_CULL", "0")),
     )
-    n_rays, budget = 4096, 128
+    # BENCH_BUDGET: static per-ray march budget (the trainer auto-adapts it
+    # to the 1.5x-mean occupancy bucket; population levers like t_cull lower
+    # the occupied count, so their harvest shows up only when budget AND
+    # compact_frac follow — sweep them together, see 015_tcull_compact)
+    n_rays, budget = 4096, int(os.environ.get("BENCH_BUDGET", "128"))
     H = W = 256
     n_poses = 16
     from nerf_signature_tpu.utils.dispatch import max_scan_steps
