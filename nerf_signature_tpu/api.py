@@ -47,7 +47,8 @@ from .render.renderer import RenderConfig, render_rays_fixed, render_rays_occ
     jax.jit, static_argnames=("cfg", "rc", "budget", "use_perturb")
 )
 def _render_occ_clean(params, occupancy, rays_o, rays_d, bg_color, key,
-                      cfg: NGPConfig, rc: RenderConfig, budget, use_perturb):
+                      cfg: NGPConfig, rc: RenderConfig, budget, use_perturb,
+                      aabb=None):
     field = lambda x, d: ngp_field(params, cfg, x, d)
     bg_fn = (
         (lambda o, d: ngp_background(params, cfg, o, d))
@@ -56,14 +57,14 @@ def _render_occ_clean(params, occupancy, rays_o, rays_d, bg_color, key,
     return render_rays_occ(
         field, occupancy, rays_o, rays_d, rc, budget=budget,
         bg_color=bg_color, perturb_key=key if use_perturb else None,
-        bg_fn=bg_fn,
+        bg_fn=bg_fn, aabb=aabb,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "rc", "budget"))
 def _render_occ_clean_staged(params, occupancy, rays_o_chunks, rays_d_chunks,
                              bg_color, cfg: NGPConfig, rc: RenderConfig,
-                             budget):
+                             budget, aabb=None):
     """Whole staged render as ONE program: ``lax.map`` over ray chunks.
 
     rays_*_chunks: [n_chunks, chunk, 3].  One dispatch per image instead of
@@ -79,7 +80,7 @@ def _render_occ_clean_staged(params, occupancy, rays_o_chunks, rays_d_chunks,
         ro, rd = args
         out = render_rays_occ(
             field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color,
-            bg_fn=bg_fn,
+            bg_fn=bg_fn, aabb=aabb,
         )
         return out["image"], out["depth"]
 
@@ -91,7 +92,7 @@ def _render_occ_clean_staged(params, occupancy, rays_o_chunks, rays_d_chunks,
 def _render_occ_wtmk_staged(backbone, trainable, occupancy, rays_o_chunks,
                             rays_d_chunks, message, bg_color,
                             cfg: WatermarkConfig, rc: RenderConfig, budget,
-                            use_msg):
+                            use_msg, aabb=None):
     msg = message if use_msg else None
     field = lambda x, d: wtmk_field(backbone, trainable, cfg, x, d, msg)
     bg_fn = (
@@ -103,7 +104,7 @@ def _render_occ_wtmk_staged(backbone, trainable, occupancy, rays_o_chunks,
         ro, rd = args
         out = render_rays_occ(
             field, occupancy, ro, rd, rc, budget=budget, bg_color=bg_color,
-            bg_fn=bg_fn,
+            bg_fn=bg_fn, aabb=aabb,
         )
         return out["image"], out["depth"]
 
@@ -116,7 +117,7 @@ def _render_occ_wtmk_staged(backbone, trainable, occupancy, rays_o_chunks,
 )
 def _render_occ_wtmk(backbone, trainable, occupancy, rays_o, rays_d, message,
                      bg_color, key, cfg: WatermarkConfig, rc: RenderConfig,
-                     budget, use_perturb, use_msg):
+                     budget, use_perturb, use_msg, aabb=None):
     msg = message if use_msg else None
     field = lambda x, d: wtmk_field(backbone, trainable, cfg, x, d, msg)
     bg_fn = (
@@ -126,13 +127,14 @@ def _render_occ_wtmk(backbone, trainable, occupancy, rays_o, rays_d, message,
     return render_rays_occ(
         field, occupancy, rays_o, rays_d, rc, budget=budget,
         bg_color=bg_color, perturb_key=key if use_perturb else None,
-        bg_fn=bg_fn,
+        bg_fn=bg_fn, aabb=aabb,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "rc", "use_perturb"))
 def _render_fixed_clean(params, rays_o, rays_d, bg_color, key,
-                        cfg: NGPConfig, rc: RenderConfig, use_perturb):
+                        cfg: NGPConfig, rc: RenderConfig, use_perturb,
+                        aabb=None):
     density = lambda x: ngp_density(params, cfg, x)
     color = lambda x, d, g: ngp_color(params, cfg, d, g)
     bg_fn = (
@@ -143,7 +145,7 @@ def _render_fixed_clean(params, rays_o, rays_d, bg_color, key,
     return render_rays_fixed(
         density, color, rays_o, rays_d, rc, bg_color=bg_color,
         perturb_key=k1 if use_perturb else None, upsample_key=k2,
-        det_upsample=not use_perturb, bg_fn=bg_fn,
+        det_upsample=not use_perturb, bg_fn=bg_fn, aabb=aabb,
     )
 
 
@@ -176,6 +178,23 @@ class _BaseModel:
         self.train_budget = train_budget
         self.infer_budget = infer_budget
         self.mean_count = 0  # running avg of occupied samples/ray (telemetry)
+        # inference-time crop box (the reference GUI's aabb_infer sliders,
+        # ``nerf/gui.py:355-427``): None = full scene bound; a [6] array
+        # tightens the render paths' near/far clip.  Dynamic (set via
+        # ``set_aabb_crop``) — slider moves re-use the compiled program.
+        self.aabb_infer = None
+
+    def set_aabb_crop(self, bounds):
+        """Set (or clear with None) the inference crop box [xmin, ymin,
+        zmin, xmax, ymax, zmax], clamped to the scene bound."""
+        if bounds is None:
+            self.aabb_infer = None
+            return
+        b = self.rc.bound
+        lo = np.clip(np.asarray(bounds[:3], np.float32), -b, b)
+        hi = np.clip(np.asarray(bounds[3:], np.float32), -b, b)
+        hi = np.maximum(hi, lo + 1e-4)
+        self.aabb_infer = jnp.asarray(np.concatenate([lo, hi]))
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -321,10 +340,11 @@ class NGPModel(_BaseModel):
                 self.params, render_grid(self.occ, self.rc_eval.t_cull),
                 rays_o, rays_d, bg_color,
                 self._next_key(), self.cfg, self.rc_eval, budget, perturb,
+                aabb=self.aabb_infer,
             )
         return _render_fixed_clean(
             self.params, rays_o, rays_d, bg_color, self._next_key(),
-            self.cfg, self.rc, perturb,
+            self.cfg, self.rc, perturb, aabb=self.aabb_infer,
         )
 
     def _render_staged(self, ro_chunks, rd_chunks, message, bg, budget):
@@ -334,7 +354,7 @@ class NGPModel(_BaseModel):
         return _render_occ_clean_staged(
             self.params, render_grid(self.occ, self.rc_eval.t_cull),
             ro_chunks, rd_chunks, bg,
-            self.cfg, self.rc_eval, budget,
+            self.cfg, self.rc_eval, budget, aabb=self.aabb_infer,
         )
 
 
@@ -387,7 +407,7 @@ class WatermarkModel(_BaseModel):
             self.backbone, self.trainable,
             render_grid(self.occ, self.rc_eval.t_cull), rays_o, rays_d,
             msg, bg_color, self._next_key(), self.wcfg, self.rc_eval, budget,
-            perturb, use_msg,
+            perturb, use_msg, aabb=self.aabb_infer,
         )
 
     def _render_staged(self, ro_chunks, rd_chunks, message, bg, budget):
@@ -401,4 +421,5 @@ class WatermarkModel(_BaseModel):
             self.backbone, self.trainable,
             render_grid(self.occ, self.rc_eval.t_cull), ro_chunks,
             rd_chunks, msg, bg, self.wcfg, self.rc_eval, budget, use_msg,
+            aabb=self.aabb_infer,
         )

@@ -84,6 +84,7 @@ def render_rays_occ(
     perturb_key=None,
     n_cand: Optional[int] = None,
     bg_fn: Optional[Callable] = None,
+    aabb=None,
 ):
     """Occupancy-grid render of [N, 3] rays.
 
@@ -91,12 +92,17 @@ def render_rays_occ(
     clean or message-conditioned field with params already bound.
     ``bg_fn(rays_o, rays_d) -> [N, 3]``, when given, overrides ``bg_color``
     (the bg-sphere model path, ref ``nerf/renderer.py:271-274``).
+    ``aabb``: optional [6] crop box (xyzmin, xyzmax) replacing the full
+    scene bound for the near/far clip — the reference GUI's ``aabb_infer``
+    sliders (``nerf/gui.py:355-427``); a DYNAMIC array, so slider moves
+    never recompile.
     Returns dict(image [N, 3], depth [N], weights_sum [N]).
     """
-    aabb = jnp.array(
-        [-rc.bound, -rc.bound, -rc.bound, rc.bound, rc.bound, rc.bound],
-        dtype=jnp.float32,
-    )
+    if aabb is None:
+        aabb = jnp.array(
+            [-rc.bound, -rc.bound, -rc.bound, rc.bound, rc.bound, rc.bound],
+            dtype=jnp.float32,
+        )
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, rc.min_near)
 
     m = march_rays(
@@ -173,16 +179,19 @@ def render_rays_fixed(
     upsample_key=None,
     det_upsample=True,
     bg_fn: Optional[Callable] = None,
+    aabb=None,
 ):
     """Fixed-step render (the reference's pure-torch ``run`` path).
 
     density_fn(x [M,3]) -> dict(sigma [M], geo_feat [M,G]);
     color_fn(x, d, geo_feat) -> rgb [M, 3].
+    aabb: optional [6] crop box (see ``render_rays_occ``).
     """
-    aabb = jnp.array(
-        [-rc.bound, -rc.bound, -rc.bound, rc.bound, rc.bound, rc.bound],
-        dtype=jnp.float32,
-    )
+    if aabb is None:
+        aabb = jnp.array(
+            [-rc.bound, -rc.bound, -rc.bound, rc.bound, rc.bound, rc.bound],
+            dtype=jnp.float32,
+        )
     N = rays_o.shape[0]
     T = rc.num_steps
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, rc.min_near)

@@ -58,6 +58,22 @@ button,input{background:#222;color:#ddd;border:1px solid #555;margin:2px}
    value="%(max_steps)d" style="width:6em"
    onchange="ctl({max_steps:+this.value})"/>
 </div>
+<div>
+ crop
+ x <input class="crop" id="cx0" type="range" min="-%(bound)g" max="%(bound)g"
+   step="%(crop_step)g" value="-%(bound)g" oninput="crop()"/>
+ <input class="crop" id="cx1" type="range" min="-%(bound)g" max="%(bound)g"
+   step="%(crop_step)g" value="%(bound)g" oninput="crop()"/>
+ y <input class="crop" id="cy0" type="range" min="-%(bound)g" max="%(bound)g"
+   step="%(crop_step)g" value="-%(bound)g" oninput="crop()"/>
+ <input class="crop" id="cy1" type="range" min="-%(bound)g" max="%(bound)g"
+   step="%(crop_step)g" value="%(bound)g" oninput="crop()"/>
+ z <input class="crop" id="cz0" type="range" min="-%(bound)g" max="%(bound)g"
+   step="%(crop_step)g" value="-%(bound)g" oninput="crop()"/>
+ <input class="crop" id="cz1" type="range" min="-%(bound)g" max="%(bound)g"
+   step="%(crop_step)g" value="%(bound)g" oninput="crop()"/>
+ <button onclick="clearCrop()">clear crop</button>
+</div>
 <div id="stats"></div>
 <script>
 const img=document.getElementById('v');let drag=0,px=0,py=0,shift=0;
@@ -68,6 +84,13 @@ window.onmousemove=e=>{if(!drag)return;
  px=e.clientX;py=e.clientY;};
 img.onwheel=e=>{ctl({scale:e.deltaY>0?-1:1});e.preventDefault()};
 function ctl(m){fetch('/ctl',{method:'POST',body:JSON.stringify(m)})}
+function cv(id){return +document.getElementById(id).value}
+function crop(){ctl({aabb:[cv('cx0'),cv('cy0'),cv('cz0'),
+                           cv('cx1'),cv('cy1'),cv('cz1')]})}
+function clearCrop(){
+ for(const el of document.querySelectorAll('.crop'))
+  el.value=el.id.endsWith('0')?el.min:el.max;
+ ctl({aabb:null});}
 async function tick(){
  try{const r=await fetch('/frame?'+Date.now());
   document.getElementById('stats').textContent=r.headers.get('X-Stats')||'';
@@ -172,6 +195,14 @@ class ViewerServer:
                 dt_gamma=float(msg.get("dt_gamma", m.rc.dt_gamma)),
                 max_steps=int(msg.get("max_steps", m.rc.max_steps)),
             )
+            # renders go through the exactness view of rc (t_cull pinned 0)
+            m.rc_eval = (dataclasses.replace(m.rc, t_cull=0.0)
+                         if m.rc.t_cull else m.rc)
+        # aabb crop sliders (ref gui.py:355-427): a dynamic [6] array — no
+        # recompile per slider move; null clears back to the full bound
+        if "aabb" in msg:
+            v.model.set_aabb_crop(msg["aabb"])
+            v.reset_accum()
         # save/mesh touch the device — queue them for the render thread so
         # JAX dispatch stays single-threaded (see _loop)
         if "save" in msg:
@@ -207,6 +238,7 @@ class ViewerServer:
                     body = (_PAGE % {
                         "W": cam.W, "H": cam.H, "fovy": int(cam.fovy),
                         "dt_gamma": rc.dt_gamma, "max_steps": rc.max_steps,
+                        "bound": rc.bound, "crop_step": rc.bound / 64.0,
                     }).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
