@@ -151,7 +151,38 @@ def main():
     # warmup/compile + let the grid converge
     out = run(params, ema, opt_state, occ, jax.random.PRNGKey(1), 0)
     params, ema, opt_state, occ = out[:4]
+    mean_occ = float(np.asarray(out[5]))
     np.asarray(out[4])  # force
+
+    # BENCH_ADAPT (default on): re-pick the march-budget and compaction
+    # buckets with the TRAINER's own auto-adaptation formulas
+    # (trainer._adapt_budget: next pow2 >= 1.5x mean occupied, floor 32;
+    # trainer._adapt_compaction: smallest bucket >= 1.5x fill) — so the
+    # bench measures the framework as its defaults actually configure it
+    # (--train_budget auto-adapts both ways, --compact_frac defaults to -1
+    # auto).  Explicit BENCH_BUDGET/BENCH_COMPAT env pins win; BENCH_ADAPT=0
+    # restores the historical fixed 128/0.25 protocol.
+    import math as _math
+
+    rc0, budget0 = rc, budget  # render/wm modes keep the un-adapted shapes
+    if (os.environ.get("BENCH_ADAPT", "1") == "1"
+            and "BENCH_BUDGET" not in os.environ
+            and "BENCH_COMPACT" not in os.environ):
+        budget = min(1 << max(5, _math.ceil(_math.log2(max(1.5 * mean_occ,
+                                                           1.0)))), 1024)
+        fill = min(mean_occ, budget) / budget
+        cb = next(b for b in (0.0625, 0.125, 0.25, 0.5, 1.0)
+                  if b >= min(1.0, 1.5 * fill))
+        import dataclasses as _dc2
+
+        rc = _dc2.replace(rc, compact_frac=0.0 if cb == 1.0 else cb)
+        print(f"# bench adapt: mean_occ {mean_occ:.1f} -> budget {budget}, "
+              f"compact {cb}", flush=True)
+        # re-warm at the adapted shapes (fresh compile)
+        out = run(params, ema, opt_state, occ, jax.random.PRNGKey(11),
+                  n_steps)
+        params, ema, opt_state, occ = out[:4]
+        np.asarray(out[4])
 
     t0 = time.perf_counter()
     out = run(params, ema, opt_state, occ, jax.random.PRNGKey(2), n_steps)
@@ -193,7 +224,7 @@ def main():
         import dataclasses as _dc
 
         cfg_eval = exact_field_cfg(cfg)
-        rc_eval = _dc.replace(rc, t_cull=0.0) if rc.t_cull else rc
+        rc_eval = _dc.replace(rc0, t_cull=0.0) if rc0.t_cull else rc0
         rays = get_rays(poses[:1], intrinsics, H, W, -1)
         ro = np.asarray(rays["rays_o"][0].reshape(-1, 4, 4096, 3))
         rd = np.asarray(rays["rays_d"][0].reshape(-1, 4, 4096, 3))
@@ -268,7 +299,7 @@ def main():
             return _wm_device_loop(
                 backbone, trainable, state, wm_grid, ro_b, rd_b,
                 poses_d, imgs3, intr_d, key, jnp.float32(0.005),
-                jnp.float32(1.0), wcfg, rc, budget, budget,
+                jnp.float32(1.0), wcfg, rc0, budget0, budget0,
                 wm_opt.update, "none", "bce", n_steps, n_rays, H, W,
             )
 

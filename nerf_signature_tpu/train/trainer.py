@@ -358,8 +358,15 @@ class Trainer:
         m = self.model
         S = m.train_budget
         fill = min(float(mean_occ), S) / S
+        # buckets extend below the historical 0.25 floor: with --t_cull the
+        # occupied fill on converged scenes drops to ~5-7%, and the packed
+        # buffer must be allowed to follow (measured: t_cull 1e-4 at bucket
+        # 0.125 is 1.45x, at 0.0625 1.84x over the 0.25-parked step —
+        # PERF.md round 5).  1.5x headroom + the two-in-a-row hysteresis
+        # below keep batch-to-batch fill variance from thrashing/overflow.
         target = next(
-            b for b in (0.25, 0.5, 1.0) if b >= min(1.0, 1.5 * fill)
+            b for b in (0.0625, 0.125, 0.25, 0.5, 1.0)
+            if b >= min(1.0, 1.5 * fill)
         )
         cur = m.rc.compact_frac or 1.0
         if target == cur:

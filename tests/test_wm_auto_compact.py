@@ -76,4 +76,4 @@ def test_probe_runs_end_to_end():
     valid bucket."""
     tr = _tiny_trainer(compact_frac=-1)
     tr.resolve_auto_compaction(_Loader())
-    assert tr.model.rc.compact_frac in (0.0, 0.25, 0.5)
+    assert tr.model.rc.compact_frac in (0.0, 0.0625, 0.125, 0.25, 0.5)
