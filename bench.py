@@ -148,9 +148,18 @@ def main():
             n_rays, H, W,
         )
 
-    # warmup/compile + let the grid converge
-    out = run(params, ema, opt_state, occ, jax.random.PRNGKey(1), 0)
-    params, ema, opt_state, occ = out[:4]
+    # warmup/compile + let the grid converge.  One dispatch is NOT enough:
+    # its grid update runs on the near-random field (everything above
+    # thresh -> dense fog, mean occupied ~255/ray, capped by the prefilter
+    # group budget) — the adaptation below must see the converged regime
+    # the bench claims to measure, so run a few dispatches (updates at
+    # steps 0, 16, 32... with a progressively trained field) before
+    # reading the occupancy statistic.
+    n_warm = int(os.environ.get("BENCH_WARMUP_DISPATCHES", "6"))
+    for i in range(n_warm):
+        out = run(params, ema, opt_state, occ, jax.random.PRNGKey(1 + i),
+                  i * n_steps)
+        params, ema, opt_state, occ = out[:4]
     mean_occ = float(np.asarray(out[5]))
     np.asarray(out[4])  # force
 
@@ -180,12 +189,16 @@ def main():
               f"compact {cb}", flush=True)
         # re-warm at the adapted shapes (fresh compile)
         out = run(params, ema, opt_state, occ, jax.random.PRNGKey(11),
-                  n_steps)
+                  n_warm * n_steps)
         params, ema, opt_state, occ = out[:4]
         np.asarray(out[4])
 
     t0 = time.perf_counter()
-    out = run(params, ema, opt_state, occ, jax.random.PRNGKey(2), n_steps)
+    # step0 === 8 (mod 16): no grid maintenance inside the timed window,
+    # matching the historical protocol
+    out = run(params, ema, opt_state, occ, jax.random.PRNGKey(2),
+              (n_warm + 1) * n_steps if n_warm % 2 == 0 else
+              (n_warm + 2) * n_steps)
     losses = np.asarray(out[4])  # fetch all losses -> full materialisation
     dt = time.perf_counter() - t0
     assert np.isfinite(losses).all()
@@ -327,6 +340,10 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "budget": budget,
+        "compact_frac": rc.compact_frac,
+        "t_cull": rc.t_cull,
+        "mean_occ": round(mean_occ, 1),
     }
     if render_rps is not None:
         record["render_rays_per_sec"] = round(render_rps, 1)
