@@ -155,13 +155,16 @@ def main():
     # the bench claims to measure, so run a few dispatches (updates at
     # steps 0, 16, 32... with a progressively trained field) before
     # reading the occupancy statistic.
-    n_warm = int(os.environ.get("BENCH_WARMUP_DISPATCHES", "6"))
+    n_warm = int(os.environ.get("BENCH_WARMUP_DISPATCHES", "30"))
     for i in range(n_warm):
         out = run(params, ema, opt_state, occ, jax.random.PRNGKey(1 + i),
                   i * n_steps)
         params, ema, opt_state, occ = out[:4]
     mean_occ = float(np.asarray(out[5]))
     np.asarray(out[4])  # force
+    occ_frac = float(jnp.mean(occ.occupancy.astype(jnp.float32)))
+    print(f"# bench warmup: {n_warm * n_steps} steps, grid occupancy "
+          f"{occ_frac:.4f}, mean occupied/ray {mean_occ:.1f}", flush=True)
 
     # BENCH_ADAPT (default on): re-pick the march-budget and compaction
     # buckets with the TRAINER's own auto-adaptation formulas
