@@ -141,11 +141,16 @@ def main():
     poses_d = jnp.asarray(poses)
     intr_d = jnp.asarray(intrinsics)
 
+    # density_thresh 10 = the real-scene recipe value every campaign uses
+    # (0.01, the device-loop default, NEVER prunes this scene — the
+    # documented fog deadlock; every bench before round 5 timed that fog)
+    dthresh = float(os.environ.get("BENCH_DENSITY_THRESH", "10"))
+
     def run(params, ema, opt_state, occ, key, step0):
         return device_train_loop(
             params, ema, opt_state, occ, poses_d, images, intr_d, key,
             step0, cfg, rc, budget, optimizer.update, True, 0.95, n_steps,
-            n_rays, H, W,
+            n_rays, H, W, density_thresh=dthresh,
         )
 
     # warmup/compile + let the grid converge.  One dispatch is NOT enough:
@@ -408,6 +413,8 @@ def run_matrix():
                 params, ema, opt_state, occ, poses_d, images, intr_d, key,
                 step0, cfg, rc, budget, optimizer.update, True, 0.95,
                 n_steps, n_rays, H, W,
+                density_thresh=float(
+                    os.environ.get("BENCH_DENSITY_THRESH", "10")),
             )
 
         # one dispatch from scratch -> young-grid snapshot ("fresh": the

@@ -68,16 +68,22 @@ def main():
     opt_state = optimizer.init(params)
     ema = copy(params)
     occ = init_occupancy_grid(1.0, rc.grid_size)
-    n_disp = int(os.environ.get("PROBE_DISPATCHES", "25"))
+    n_disp = int(os.environ.get("PROBE_DISPATCHES", "40"))
+    # density_thresh 10 = the real-scene recipe value (the device-loop
+    # default 0.01 never prunes -> fog deadlock; see CLAUDE.md)
+    dthresh = float(os.environ.get("PROBE_DENSITY_THRESH", "10"))
     for i in range(n_disp):
         out = device_train_loop(
             params, ema, opt_state, occ, poses_d, images, intr_d,
             jax.random.PRNGKey(1 + i), i * n_steps, cfg, rc, budget,
             optimizer.update, True, 0.95, n_steps, n_rays, H, W,
+            density_thresh=dthresh,
         )
         params, ema, opt_state, occ = out[:4]
     print(f"trained {n_disp * n_steps} steps, final loss "
-          f"{float(np.asarray(out[4])[-1]):.5f}", flush=True)
+          f"{float(np.asarray(out[4])[-1]):.5f}, grid occ "
+          f"{float(jnp.mean(occ.occupancy.astype(jnp.float32))):.4f}",
+          flush=True)
 
     cfg_e = exact_field_cfg(cfg)
     density_fn = lambda x: ngp_density(params, cfg_e, x)["sigma"]
@@ -122,7 +128,8 @@ def main():
                         g, jax.random.PRNGKey(1000 + r), density_fn,
                         bound=rc.bound, grid_size=rc.grid_size,
                         density_scale=rc.density_scale,
-                        density_thresh=0.01 * tmul, decay=decay, full=False,
+                        density_thresh=dthresh * tmul, decay=decay,
+                        full=False,
                     )
                 frac, spr, psnr = measure(g)
                 print(json.dumps({
