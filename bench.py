@@ -423,8 +423,9 @@ def run_matrix():
         params, ema, opt_state, occ = out[:4]
         np.asarray(out[4])
         occ_fresh = copy(occ)
-        # train on so the grid prunes toward the converged regime
-        n_conv = int(os.environ.get("BENCH_MATRIX_CONV_DISPATCHES", "12"))
+        # train on so the grid prunes toward the converged regime (~240
+        # steps at density_thresh 10 measured 5.4% occupancy on this scene)
+        n_conv = int(os.environ.get("BENCH_MATRIX_CONV_DISPATCHES", "30"))
         for i in range(n_conv):
             out = run(params, ema, opt_state, occ, jax.random.PRNGKey(2 + i),
                       (1 + i) * n_steps, 128)
