@@ -358,15 +358,17 @@ class Trainer:
         m = self.model
         S = m.train_budget
         fill = min(float(mean_occ), S) / S
-        # buckets extend below the historical 0.25 floor: with --t_cull the
-        # occupied fill on converged scenes drops to ~5-7%, and the packed
-        # buffer must be allowed to follow (measured: t_cull 1e-4 at bucket
-        # 0.125 is 1.45x, at 0.0625 1.84x over the 0.25-parked step —
-        # PERF.md round 5).  1.5x headroom + the two-in-a-row hysteresis
-        # below keep batch-to-batch fill variance from thrashing/overflow.
+        # buckets extend below the historical 0.25 floor (with --t_cull the
+        # occupied fill on converged scenes drops to ~5-7% and the packed
+        # buffer must follow) and 0.375/0.75 fill the top gaps; headroom is
+        # 1.3x, not the round-2 1.5x — measured round 5: at fill 0.39 the
+        # 1.5x rule crossed the 0.5 bucket and turned compaction OFF
+        # (2x the slots, 15.9k vs 22.3k rays/s).  Overflow stays graceful
+        # (drops that batch's tail samples, the reference's mean_count
+        # semantics) and the two-in-a-row hysteresis absorbs fill noise.
         target = next(
-            b for b in (0.0625, 0.125, 0.25, 0.5, 1.0)
-            if b >= min(1.0, 1.5 * fill)
+            b for b in (0.0625, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)
+            if b >= min(1.0, 1.3 * fill)
         )
         cur = m.rc.compact_frac or 1.0
         if target == cur:

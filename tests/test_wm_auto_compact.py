@@ -47,8 +47,8 @@ def _probe_with(tr, mean_occ):
 
 def test_sparse_occupancy_enables_compaction():
     tr = _tiny_trainer(compact_frac=-1)
-    _probe_with(tr, mean_occ=4.0)  # fill 4/16 -> 1.5x headroom -> 0.5 bucket
-    assert tr.model.rc.compact_frac == 0.5
+    _probe_with(tr, mean_occ=4.0)  # fill 4/16 -> 1.3x headroom -> 0.375 bucket
+    assert tr.model.rc.compact_frac == 0.375
 
 
 def test_very_sparse_picks_quarter():
