@@ -188,8 +188,7 @@ def main():
         budget = min(1 << max(5, _math.ceil(_math.log2(max(1.5 * mean_occ,
                                                            1.0)))), 1024)
         fill = min(mean_occ, budget) / budget
-        cb = next(b for b in (0.0625, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)
-                  if b >= min(1.0, 1.3 * fill))
+        cb = min(1.0, _math.ceil(1.3 * fill * 16.0) / 16.0)
         import dataclasses as _dc2
 
         rc = _dc2.replace(rc, compact_frac=0.0 if cb == 1.0 else cb)

@@ -20,6 +20,7 @@ hysteresis (recompiles at most a handful of times per run).
 
 import dataclasses
 import functools
+import math
 import os
 import time
 
@@ -358,18 +359,16 @@ class Trainer:
         m = self.model
         S = m.train_budget
         fill = min(float(mean_occ), S) / S
-        # buckets extend below the historical 0.25 floor (with --t_cull the
-        # occupied fill on converged scenes drops to ~5-7% and the packed
-        # buffer must follow) and 0.375/0.75 fill the top gaps; headroom is
-        # 1.3x, not the round-2 1.5x — measured round 5: at fill 0.39 the
-        # 1.5x rule crossed the 0.5 bucket and turned compaction OFF
-        # (2x the slots, 15.9k vs 22.3k rays/s).  Overflow stays graceful
-        # (drops that batch's tail samples, the reference's mean_count
-        # semantics) and the two-in-a-row hysteresis absorbs fill noise.
-        target = next(
-            b for b in (0.0625, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)
-            if b >= min(1.0, 1.3 * fill)
-        )
+        # the target is 1.3x the measured fill, rounded UP to the 1/16 grid
+        # (16 possible compile shapes; the two-in-a-row hysteresis below
+        # absorbs fill noise so shapes don't thrash).  Round-5 history: the
+        # round-2 rule was 1.5x headroom over coarse {0.25, 0.5, 1.0}
+        # buckets, which (a) could not follow a --t_cull'd fill below 0.25,
+        # and (b) at fill 0.39 crossed the 0.5 bucket and turned compaction
+        # OFF — 2x the packed slots, 15.9k vs 22.3k rays/s (PERF.md).
+        # Overflow stays graceful (drops that batch's tail samples, the
+        # reference's mean_count semantics).
+        target = min(1.0, math.ceil(1.3 * fill * 16.0) / 16.0)
         cur = m.rc.compact_frac or 1.0
         if target == cur:
             self._compact_pending = None

@@ -813,14 +813,12 @@ class WatermarkTrainer:
         n_occ = np.asarray(m._last_n_occupied)
         S = m.train_budget
         fill = min(float(n_occ.mean()), S) / S
-        # same extended bucket list + 1.3x headroom as
-        # Trainer._adapt_compaction (the probe render is cull-free —
-        # rc_eval — so with --t_cull the measured fill OVERestimates the
-        # train step's, i.e. the bucket is conservative)
-        target = next(
-            b for b in (0.0625, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)
-            if b >= min(1.0, 1.3 * fill)
-        )
+        # same 1.3x-headroom 1/16-grid rule as Trainer._adapt_compaction
+        # (the probe render is cull-free — rc_eval — so with --t_cull the
+        # measured fill OVERestimates the train step's: conservative)
+        import math as _math
+
+        target = min(1.0, _math.ceil(1.3 * fill * 16.0) / 16.0)
         if target < 1.0:
             m.rc = dataclasses.replace(m.rc, compact_frac=target)
         self.log(f"[compact] wm auto sample compaction -> {target} "

@@ -47,14 +47,14 @@ def _probe_with(tr, mean_occ):
 
 def test_sparse_occupancy_enables_compaction():
     tr = _tiny_trainer(compact_frac=-1)
-    _probe_with(tr, mean_occ=4.0)  # fill 4/16 -> 1.3x headroom -> 0.375 bucket
+    _probe_with(tr, mean_occ=4.0)  # fill 4/16 -> ceil(5.2)/16 = 0.375
     assert tr.model.rc.compact_frac == 0.375
 
 
-def test_very_sparse_picks_quarter():
+def test_very_sparse_tracks_fill_grid():
     tr = _tiny_trainer(compact_frac=-1)
-    _probe_with(tr, mean_occ=2.0)  # fill 2/16 -> 0.1875 -> 0.25 bucket
-    assert tr.model.rc.compact_frac == 0.25
+    _probe_with(tr, mean_occ=2.0)  # fill 2/16 -> ceil(2.6)/16 = 0.1875
+    assert tr.model.rc.compact_frac == 0.1875
 
 
 def test_dense_occupancy_stays_uncompacted():
@@ -76,4 +76,4 @@ def test_probe_runs_end_to_end():
     valid bucket."""
     tr = _tiny_trainer(compact_frac=-1)
     tr.resolve_auto_compaction(_Loader())
-    assert tr.model.rc.compact_frac in (0.0, 0.0625, 0.125, 0.25, 0.5)
+    assert tr.model.rc.compact_frac == 0.0 or (0.0625 <= tr.model.rc.compact_frac <= 1.0 and (tr.model.rc.compact_frac * 16) % 1 == 0)
