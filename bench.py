@@ -315,11 +315,19 @@ def main():
 
         wm_grid = render_grid(occ, rc.t_cull)
 
+        # the wm trainer auto-adapts budget/compaction exactly like the clean
+        # trainer, so the wm mode benches the ADAPTED shapes (the shapes the
+        # product actually dispatches); BENCH_WM_ADAPT=0 restores the
+        # historical fixed-128/0.25 wm protocol for cross-round continuity.
+        wm_rc, wm_budget = ((rc0, budget0)
+                            if os.environ.get("BENCH_WM_ADAPT") == "0"
+                            else (rc, budget))
+
         def run_wm(trainable, state, key):
             return _wm_device_loop(
                 backbone, trainable, state, wm_grid, ro_b, rd_b,
                 poses_d, imgs3, intr_d, key, jnp.float32(0.005),
-                jnp.float32(1.0), wcfg, rc0, budget0, budget0,
+                jnp.float32(1.0), wcfg, wm_rc, wm_budget, wm_budget,
                 wm_opt.update, "none", "bce", n_steps, n_rays, H, W,
             )
 
