@@ -350,9 +350,9 @@ class Trainer:
                 if isinstance(v, (int, float)):
                     tb.add_scalar(f"train/{k}", v, self.global_step)
 
-    def _adapt_compaction(self, mean_occ):
+    def _adapt_compaction(self, mean_occ, immediate=False):
         """Auto sample-compaction (``--compact_frac -1``): pick the slot
-        fraction from measured occupancy (1.5x headroom, coarse buckets,
+        fraction from measured occupancy (1.3x headroom, 1/16 buckets,
         two-in-a-row hysteresis — a change recompiles the step)."""
         if getattr(self.opt, "compact_frac", 0) != -1:
             return
@@ -370,10 +370,17 @@ class Trainer:
         # reference's mean_count semantics).
         target = min(1.0, math.ceil(1.3 * fill * 16.0) / 16.0)
         cur = m.rc.compact_frac or 1.0
-        if target == cur:
+        # LOWER dead-band (2/16): lowering only buys speed (the buffers stay
+        # big enough), and each move is a full recompile through a ~100 s
+        # remote-compile path — the early-training occupancy descent
+        # otherwise walks the 1/16 grid one recompile per bucket (measured
+        # 12 recompiles in 240 steps on the multiobj scene, r5/03 log).
+        # Raises keep full resolution: they protect against truncation.
+        if target == cur or (not immediate and target < cur
+                             and cur - target < 0.125):
             self._compact_pending = None
             return
-        if getattr(self, "_compact_pending", None) == target:
+        if immediate or getattr(self, "_compact_pending", None) == target:
             import dataclasses
 
             m.rc = dataclasses.replace(
@@ -413,14 +420,24 @@ class Trainer:
             self._budget_hysteresis = min(self._budget_hysteresis, 0) - 1
         else:
             self._budget_hysteresis = 0
+        moved = False
         if self._budget_hysteresis >= 2:
             self.model.train_budget = min(b * 2, self.opt.max_steps)
             self._budget_hysteresis = 0
+            moved = True
             self.log(f"[budget] raise march budget -> {self.model.train_budget}")
         elif self._budget_hysteresis <= -2:
             self.model.train_budget = max(b // 2, 32)
             self._budget_hysteresis = 0
+            moved = True
             self.log(f"[budget] lower march budget -> {self.model.train_budget}")
+        if moved:
+            # a budget move changes the step shapes (one recompile already);
+            # re-fit the compaction fraction to the NEW budget in the same
+            # event, else the fill jump (fill is relative to the budget)
+            # triggers a SECOND recompile at the next check (measured on the
+            # r5/03 log: every budget move was followed by a compact move).
+            self._adapt_compaction(mean, immediate=True)
 
     # ----------------------------------------------------------------- train
     def _make_clip_step(self, H, W):
