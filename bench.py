@@ -107,15 +107,17 @@ def main():
     # more samples than exist).  Default 0.25 = what --compact_frac -1
     # (auto) settles on at this occupancy; measured sweep on-chip:
     # 0 -> 7.9k, 0.25 -> 19.3k (2.43x), 0.5 -> 12.4k rays/s (PERF.md).
+    # BENCH_T_CULL: march-time transmittance cull (population lever —
+    # samples entering at proxy T below the threshold have exactly zero
+    # weight AND gradient in the composite; ops/marching.py t_cull).
+    # Train-step only (eval/decode paths pin t_cull=0), and fog-gated like
+    # the product trainer: the warmup below runs EXACT and the cull turns on
+    # only for the adapted/measured regime (trainer._rc_train).
+    t_cull_req = float(os.environ.get("BENCH_T_CULL", "0"))
     rc = RenderConfig(
         bound=1.0, grid_size=128, max_steps=1024,
         compact_frac=float(os.environ.get("BENCH_COMPACT", "0.25")),
-        # BENCH_T_CULL: march-time transmittance cull (exact-gradient
-        # population lever — samples entering at proxy T below the threshold
-        # have exactly zero weight AND gradient in the composite, measured
-        # 46% of samples on a trained scene; ops/marching.py t_cull).
-        # Train-step only: eval/decode paths pin t_cull=0.
-        t_cull=float(os.environ.get("BENCH_T_CULL", "0")),
+        t_cull=0.0,
     )
     # BENCH_BUDGET: static per-ray march budget (the trainer auto-adapts it
     # to the 1.5x-mean occupancy bucket; population levers like t_cull lower
@@ -166,10 +168,12 @@ def main():
                   i * n_steps)
         params, ema, opt_state, occ = out[:4]
     mean_occ = float(np.asarray(out[5]))
+    mean_groups = float(np.asarray(out[8]))
     np.asarray(out[4])  # force
     occ_frac = float(jnp.mean(occ.occupancy.astype(jnp.float32)))
     print(f"# bench warmup: {n_warm * n_steps} steps, grid occupancy "
-          f"{occ_frac:.4f}, mean occupied/ray {mean_occ:.1f}", flush=True)
+          f"{occ_frac:.4f}, mean occupied/ray {mean_occ:.1f}, mean "
+          f"occupied groups/ray {mean_groups:.1f}", flush=True)
 
     # BENCH_ADAPT (default on): re-pick the march-budget and compaction
     # buckets with the TRAINER's own auto-adaptation formulas
@@ -185,16 +189,60 @@ def main():
     if (os.environ.get("BENCH_ADAPT", "1") == "1"
             and "BENCH_BUDGET" not in os.environ
             and "BENCH_COMPACT" not in os.environ):
-        budget = min(1 << max(5, _math.ceil(_math.log2(max(1.5 * mean_occ,
+        # budget from the RAW (pre-cull) occupied mean — provisioning
+        # follows geometry, never the culled survivors (the r5/03 finding:
+        # survivor-provisioned budgets truncate real tail samples).  The
+        # warmup above runs t_cull=0 (the product's fog gate keeps the cull
+        # off until grid update 16 anyway), so out[9] == out[5] here.
+        mean_raw = float(np.asarray(out[9]))
+        budget = min(1 << max(5, _math.ceil(_math.log2(max(1.5 * mean_raw,
                                                            1.0)))), 1024)
-        fill = min(mean_occ, budget) / budget
-        cb = min(1.0, _math.ceil(1.3 * fill * 16.0) / 16.0)
         import dataclasses as _dc2
 
+        # group-budget adaptation: same 1.5x-mean pow2 rule fed by the
+        # UNCAPPED occupied-group statistic (trainer._adapt_group_budget;
+        # --group_budget -1 is the product default).  BENCH_GROUP_BUDGET
+        # pins it; 0 restores the marcher's static formula.
+        from nerf_signature_tpu.ops.marching import num_candidates
+
+        gb_env = os.environ.get("BENCH_GROUP_BUDGET")
+        if gb_env is not None:
+            gb = int(gb_env)
+        else:
+            gb = 1 << max(4, _math.ceil(_math.log2(max(1.5 * mean_groups,
+                                                       1.0))))
+            gb = min(gb, max(num_candidates(rc.bound, rc.max_steps,
+                                            rc.dt_gamma) // 4, 1))
+        rc = _dc2.replace(rc, group_budget=gb)
+        # compaction from the SURVIVOR fill: with a cull requested, run one
+        # dispatch at the new budget/group shapes WITH the cull to read the
+        # survivor mean (what compaction actually packs), then set the
+        # bucket — the product trainer reads the same live statistic.
+        if t_cull_req > 0:
+            rc = _dc2.replace(rc, t_cull=t_cull_req)
+            out = run(params, ema, opt_state, occ, jax.random.PRNGKey(10),
+                      n_warm * n_steps)
+            params, ema, opt_state, occ = out[:4]
+            mean_surv = float(np.asarray(out[5]))
+            np.asarray(out[4])
+        else:
+            mean_surv = mean_raw
+        fill = min(mean_surv, budget) / budget
+        cb = min(1.0, _math.ceil(1.3 * fill * 16.0) / 16.0)
         rc = _dc2.replace(rc, compact_frac=0.0 if cb == 1.0 else cb)
-        print(f"# bench adapt: mean_occ {mean_occ:.1f} -> budget {budget}, "
-              f"compact {cb}", flush=True)
-        # re-warm at the adapted shapes (fresh compile)
+        print(f"# bench adapt: raw {mean_raw:.1f} -> budget {budget}; "
+              f"survivors {mean_surv:.1f} -> compact {cb}; groups "
+              f"{mean_groups:.1f} -> group_budget {gb}", flush=True)
+        # re-warm at the final shapes (fresh compile)
+        out = run(params, ema, opt_state, occ, jax.random.PRNGKey(11),
+                  (n_warm + 1) * n_steps)
+        params, ema, opt_state, occ = out[:4]
+        np.asarray(out[4])
+    elif t_cull_req > 0:
+        # pinned-shape arms: apply the requested cull directly
+        import dataclasses as _dc3
+
+        rc = _dc3.replace(rc, t_cull=t_cull_req)
         out = run(params, ema, opt_state, occ, jax.random.PRNGKey(11),
                   n_warm * n_steps)
         params, ema, opt_state, occ = out[:4]
@@ -358,6 +406,7 @@ def main():
         "budget": budget,
         "compact_frac": rc.compact_frac,
         "t_cull": rc.t_cull,
+        "group_budget": rc.group_budget,
         "mean_occ": round(mean_occ, 1),
     }
     if render_rps is not None:

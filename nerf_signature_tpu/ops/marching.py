@@ -242,7 +242,13 @@ def march_rays(
         exactness-contract decode paths.
 
     Returns dict(xyzs [N,S,3], dirs [N,S,3], deltas [N,S], ts [N,S],
-                 mask [N,S] bool, n_occupied [N] int32).
+                 mask [N,S] bool, n_occupied [N] int32 (survivors — what the
+                 budget actually packs), n_occupied_raw [N] int32 (pre-cull
+                 occupied count: the budget-PROVISIONING statistic; equals
+                 n_occupied when t_cull is off),
+                 n_groups_occ [N] int32 — occupied COARSE groups per ray,
+                 counted over ALL groups (never capped by ``group_budget``);
+                 on the unfiltered path, occupied fine groups).
     """
     if t_cull > 0 and jnp.issubdtype(occupancy.dtype, jnp.bool_):
         raise ValueError(
@@ -345,6 +351,7 @@ def _march_rays_impl(
         flat_idx, _ = _cells_and_levels(pos, dts_c, C, H, bound)
         return occupancy.reshape(-1)[flat_idx]
 
+    n_groups_occ = None  # set per path below
     if not prefilter:
         ts, dts = _candidate_ts(t0, n_cand, dt_min, dt_max, dt_gamma)
         cand = jnp.broadcast_to(
@@ -433,6 +440,12 @@ def _march_rays_impl(
             group_occ, jnp.arange(n_groups, dtype=jnp.int32)[None, :],
             group_budget,
         )
+        # n_g counts ALL coarse-occupied groups (pre group_budget
+        # truncation) — the honest statistic for the group-budget
+        # adaptation; a statistic read INSIDE the truncated set would
+        # saturate at group_budget and bias every downstream adaptation
+        # (the 038 sweep's 50.5k "win" was exactly that failure)
+        n_groups_occ = n_g
         gmask = jnp.arange(group_budget, dtype=jnp.int32)[None, :] < jnp.minimum(
             n_g, group_budget
         )[:, None]
@@ -456,15 +469,37 @@ def _march_rays_impl(
         occ = vals & valid
     else:
         occ = (vals > 0) & valid
-        if t_cull > 0:
-            # proxy entering transmittance from the maintained cell
-            # densities (candidates are ascending in t on both paths;
-            # sub-threshold cells are 0 in the render grid, which
-            # UNDERestimates tau -> keeps more -> conservative)
-            tau = jnp.where(occ, vals * dts, 0.0)
-            cum = jnp.cumsum(tau, axis=-1)
-            t_in = jnp.exp(tau - cum)
-            occ = occ & (t_in >= t_cull)
+
+    # RAW (pre-cull) occupied count: the march-budget adaptation must
+    # provision from the geometry, not from the culled survivors — a
+    # 1.5x-headroom bucket over the SURVIVOR mean truncates real
+    # (non-zero-weight) tail samples once the cull bites (measured: the
+    # r5/03 t_cull arm's budget dropped 128 -> 64 on the survivor statistic
+    # at step ~420 and train loss rose from 0.0032 to 0.0067 while the
+    # exact arm held; eval -1.6 dB).
+    n_occ_raw = jnp.sum(occ.astype(jnp.int32), axis=-1)
+
+    if n_groups_occ is None:
+        # unfiltered path: group statistic from the FINE pre-cull occupancy
+        # (any occupied candidate in each group-of-``group``).  This
+        # undercounts the coarse test (fine ⊆ dilated-coarse), but the
+        # unfiltered path has no group truncation to provision for — the
+        # count only keeps the returned statistic well-defined everywhere.
+        pad = (-occ.shape[1]) % group
+        og = occ if pad == 0 else jnp.pad(occ, ((0, 0), (0, pad)))
+        n_groups_occ = jnp.sum(
+            og.reshape(N, -1, group).any(-1).astype(jnp.int32), axis=-1
+        )
+
+    if t_cull > 0 and not jnp.issubdtype(vals.dtype, jnp.bool_):
+        # proxy entering transmittance from the maintained cell densities
+        # (candidates are ascending in t on both paths; sub-threshold cells
+        # are 0 in the render grid, which UNDERestimates tau -> keeps more
+        # -> conservative)
+        tau = jnp.where(occ, vals * dts, 0.0)
+        cum = jnp.cumsum(tau, axis=-1)
+        t_in = jnp.exp(tau - cum)
+        occ = occ & (t_in >= t_cull)
 
     # keep the first `budget` occupied candidates per ray, in order (the
     # candidate sequence is ascending in both paths: groups are selected in
@@ -495,4 +530,6 @@ def _march_rays_impl(
         "ts": ts_sel,
         "mask": mask,
         "n_occupied": n_occupied,
+        "n_occupied_raw": n_occ_raw,
+        "n_groups_occ": n_groups_occ,
     }

@@ -61,6 +61,12 @@ class RenderConfig:
     # drop in-budget samples on speckled occupancy, the same silent-drop
     # class compact_frac=0 exists to rule out.
     prefilter: Optional[bool] = None
+    # March coarse-group budget (prefilter path): max coarse-occupied groups
+    # kept per ray.  0 = the marcher's default formula max(64, budget // 2);
+    # the clean trainer's --group_budget -1 auto-adaptation sets this to the
+    # power-of-two bucket >= 1.5x the measured mean occupied-group count
+    # (the n_groups_occ statistic, counted UNCAPPED over all groups).
+    group_budget: int = 0
     # Transmittance cull threshold (0 = off): drop samples whose proxy
     # entering transmittance (accumulated from the maintained cell
     # densities) is below this, BEFORE the field runs — samples entering at
@@ -110,6 +116,7 @@ def render_rays_occ(
         bound=rc.bound, dt_gamma=rc.dt_gamma, max_steps=rc.max_steps,
         n_cand=n_cand, budget=budget, grid_size=rc.grid_size,
         perturb_key=perturb_key, prefilter=rc.prefilter, t_cull=rc.t_cull,
+        group_budget=rc.group_budget or None,
     )
     N, S = m["mask"].shape
 
@@ -164,6 +171,8 @@ def render_rays_occ(
         "depth": depth,
         "weights_sum": ws,
         "n_occupied": m["n_occupied"],
+        "n_occupied_raw": m["n_occupied_raw"],
+        "n_groups_occ": m["n_groups_occ"],
     }
 
 

@@ -95,8 +95,12 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
     scan (``sample_error_map``; ref ``nerf/utils.py:104-114,549-556``),
     carried through the loop and returned.
     Returns (params, ema, opt_state, occ, losses [n_steps], mean_occupied,
-    error_map, occ_p95) — occ_p95 is the max over steps of the per-step p95
-    occupied count, the budget-adaptation statistic.
+    error_map, occ_p95, mean_groups_occ, mean_occupied_raw).  mean_occupied
+    counts post-cull SURVIVORS (the compaction-fill statistic); occ_p95 and
+    mean_occupied_raw are PRE-cull (the budget-provisioning statistics —
+    provisioning follows geometry, never the culled survivors);
+    mean_groups_occ is the mean occupied-coarse-group count (uncapped), the
+    group-budget-adaptation statistic.
     """
     P = poses.shape[0]
     intr = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
@@ -201,9 +205,10 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
                     npatch, pp, pp, 3)
                 gtp = gt[: npatch * pp * pp].reshape(npatch, pp, pp, 3)
                 loss = loss + lambda_ssim * (1.0 - ssim_jnp(pred, gtp))
-            return loss, (out["n_occupied"], err)
+            return loss, (out["n_occupied"], out["n_occupied_raw"],
+                          out["n_groups_occ"], err)
 
-        (loss, (n_occ, err)), grads = jax.value_and_grad(
+        (loss, (n_occ, n_occ_raw, n_groups, err)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         updates, opt_state = opt_update(grads, opt_state, params)
@@ -226,15 +231,18 @@ def device_train_loop(params, ema, opt_state, occ: OccupancyGrid, poses,
         # adaptation (_adapt_budget) between dispatches — the scan path used
         # to starve forward-facing scenes at a saturated budget because only
         # the mean was reported (LLFF 17.58 dB finding, PERF.md r2)
-        occ_p95 = jnp.percentile(n_occ.astype(jnp.float32), 95.0)
+        occ_p95 = jnp.percentile(n_occ_raw.astype(jnp.float32), 95.0)
         return (params, ema, opt_state, occ, em), (
-            loss, jnp.mean(n_occ), occ_p95)
+            loss, jnp.mean(n_occ), occ_p95,
+            jnp.mean(n_groups.astype(jnp.float32)),
+            jnp.mean(n_occ_raw.astype(jnp.float32)))
 
     keys = jax.random.split(key, n_steps)
     steps = step0 + jnp.arange(n_steps)
-    (params, ema, opt_state, occ, error_map), (losses, occ_means, occ_p95s) \
-        = jax.lax.scan(
+    (params, ema, opt_state, occ, error_map), \
+        (losses, occ_means, occ_p95s, group_means, raw_means) = jax.lax.scan(
             body, (params, ema, opt_state, occ, error_map), (keys, steps)
         )
     return (params, ema, opt_state, occ, losses, jnp.mean(occ_means),
-            error_map, jnp.max(occ_p95s))
+            error_map, jnp.max(occ_p95s), jnp.mean(group_means),
+            jnp.mean(raw_means))

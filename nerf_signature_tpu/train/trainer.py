@@ -142,9 +142,10 @@ def _train_step(params, ema_params, opt_state, occupancy, rays_o, rays_d,
                 from .metrics import ssim_jnp
 
                 loss = loss + lambda_ssim * (1.0 - ssim_jnp(pred_p, gt_p))
-        return loss, (per_ray, out["n_occupied"])
+        return loss, (per_ray, out["n_occupied"], out["n_occupied_raw"],
+                      out["n_groups_occ"])
 
-    (loss, (per_ray, n_occ)), grads = jax.value_and_grad(
+    (loss, (per_ray, n_occ, n_occ_raw, n_groups)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(params)
     updates, opt_state = opt_update(grads, opt_state, params)
@@ -155,7 +156,8 @@ def _train_step(params, ema_params, opt_state, occupancy, rays_o, rays_d,
         )
     else:
         ema_params = params
-    return params, ema_params, opt_state, loss, per_ray, n_occ
+    return (params, ema_params, opt_state, loss, per_ray, n_occ,
+            n_occ_raw, n_groups)
 
 
 class Trainer:
@@ -232,6 +234,7 @@ class Trainer:
         self.error_map = None
 
         self._budget_hysteresis = 0
+        self._group_hysteresis = 0
 
         if workspace is not None:
             os.makedirs(workspace, exist_ok=True)
@@ -439,6 +442,69 @@ class Trainer:
             # r5/03 log: every budget move was followed by a compact move).
             self._adapt_compaction(mean, immediate=True)
 
+    def _adapt_group_budget(self, mean_groups):
+        """March coarse-group-budget adaptation (``--group_budget -1``).
+
+        The prefilter keeps the first ``group_budget`` coarse-occupied
+        groups per ray (4 fine candidates each) and gathers fine occupancy
+        only inside them, so the fine-gather + rank/select population is
+        ``group_budget * 4`` per ray — the march-side analogue of the sample
+        budget.  The marcher's static default ``max(64, budget // 2)``
+        provisions 256 candidates/ray at the adapted headline point where
+        the measured occupied-group mean is ~10-20: the same
+        1.5x-mean-headroom power-of-two rule as ``_adapt_budget``, fed by
+        the UNCAPPED ``n_groups_occ`` statistic (counted over all groups
+        BEFORE truncation — a capped statistic saturates and biases every
+        downstream adaptation, the r5/038 failure), recovers that waste.
+        Truncation class and headroom are identical to the sample budget's
+        (drop the farthest, 1.5x mean, pow2 buckets, two-in-a-row moves);
+        floor 16 groups (64 candidates).  Exactness-contract paths are
+        untouched: they force ``prefilter=False``, where no group truncation
+        exists.
+        """
+        if getattr(self.opt, "group_budget", 0) != -1:
+            return
+        m = self.model
+        # fog gate: before the grid's full-update phase ends (the reference
+        # runs 16 full-grid updates before partial ones, renderer.py:452),
+        # nearly every group is coarse-occupied — adapting to that transient
+        # only buys recompiles (the r5/03 churn finding).  The marcher's
+        # static formula covers the fog phase; adaptation starts once
+        # pruning is real.
+        occ_state = getattr(m, "occ", None)
+        if occ_state is not None and int(occ_state.iter_density) < 16:
+            self._group_hysteresis = 0
+            return
+        rc = m.rc
+        from ..ops.marching import num_candidates
+
+        n_groups_max = max(
+            num_candidates(rc.bound, rc.max_steps, rc.dt_gamma) // 4, 1
+        )
+        cur = rc.group_budget or max(64, m.train_budget // 2)
+        target = 1 << max(4, int(np.ceil(np.log2(max(1.5 * mean_groups,
+                                                     1.0)))))
+        target = min(target, n_groups_max)
+        if target > cur:
+            self._group_hysteresis = max(
+                getattr(self, "_group_hysteresis", 0), 0) + 1
+        elif target < cur:
+            self._group_hysteresis = min(
+                getattr(self, "_group_hysteresis", 0), 0) - 1
+        else:
+            self._group_hysteresis = 0
+        if self._group_hysteresis >= 2:
+            m.rc = dataclasses.replace(
+                rc, group_budget=min(max(cur * 2, 16), n_groups_max))
+            self._group_hysteresis = 0
+            self.log(f"[group] raise march group budget -> "
+                     f"{m.rc.group_budget}")
+        elif self._group_hysteresis <= -2:
+            m.rc = dataclasses.replace(rc, group_budget=max(cur // 2, 16))
+            self._group_hysteresis = 0
+            self.log(f"[group] lower march group budget -> "
+                     f"{m.rc.group_budget}")
+
     # ----------------------------------------------------------------- train
     def _make_clip_step(self, H, W):
         """Jitted GT-free step: render the low-res full-image bundle, CLIP
@@ -506,7 +572,27 @@ class Trainer:
             rays_o, rays_d, m._next_key(),
         )
         n = rays_o.shape[0]
-        return loss, jnp.zeros((n,)), jnp.zeros((n,), jnp.int32)
+        z = jnp.zeros((n,), jnp.int32)
+        return loss, jnp.zeros((n,)), z, z, z
+
+    def _rc_train(self):
+        """RenderConfig for the next train dispatch: the t_cull fog gate.
+
+        The cull's proxy transmittance comes from the maintained cell
+        densities, which LAG the live field by up to an update interval.
+        While fog is clearing (the grid's full-update phase, first 16
+        updates — reference renderer.py:452) the field falls fast, the
+        proxy systematically OVERestimates, and the cull drops samples
+        whose true entering T is still above the composite threshold —
+        measured r5/03: t_cull 1e-6 from scratch lost 1.6 dB at matched
+        steps.  Until ``iter_density >= 16`` the train step therefore
+        marches exact (t_cull 0, bool grid); the crossing costs one
+        recompile and lands inside the early-phase adaptation churn window.
+        """
+        rc = self.model.rc
+        if rc.t_cull and int(self.model.occ.iter_density) < 16:
+            return dataclasses.replace(rc, t_cull=0.0)
+        return rc
 
     def train_step_data(self, data):
         if "images" not in data:
@@ -518,7 +604,7 @@ class Trainer:
                 self._warned_gt_free = True
                 self.log("[train] skipping GT-free rand_pose batches: no "
                          "--clip_text configured")
-            return None, None, None
+            return None, None, None, None, None
         m = self.model
         images = np.asarray(data["images"]).reshape(-1, data["images"].shape[-1])
         if getattr(self.opt, "color_space", "srgb") == "linear":
@@ -528,7 +614,8 @@ class Trainer:
         rays_o = jnp.asarray(data["rays_o"]).reshape(-1, 3)
         rays_d = jnp.asarray(data["rays_d"]).reshape(-1, 3)
         images_dev = jnp.asarray(images)
-        occupancy = render_grid(m.occ, m.rc.t_cull)
+        rc_step = self._rc_train()
+        occupancy = render_grid(m.occ, rc_step.t_cull)
         if self.mesh is not None:
             from ..parallel.multihost import put_global
 
@@ -536,11 +623,11 @@ class Trainer:
             rays_d = put_global(rays_d, self._shard)
             images_dev = put_global(images_dev, self._shard)
             occupancy = put_global(occupancy, self._repl)
-        (m.params, self.ema_params, self.opt_state, loss, per_ray, n_occ
-         ) = _train_step(
+        (m.params, self.ema_params, self.opt_state, loss, per_ray, n_occ,
+         n_occ_raw, n_groups) = _train_step(
             m.params, self.ema_params, self.opt_state, occupancy,
             rays_o, rays_d, images_dev, m._next_key(),
-            self.cfg_train, m.rc, m.train_budget, self.optimizer.update,
+            self.cfg_train, rc_step, m.train_budget, self.optimizer.update,
             has_alpha,
             self.ema_decay, self._lpips_params,
             self.patch_size if (self._lpips_params is not None
@@ -548,7 +635,7 @@ class Trainer:
             lambda_ssim=(jnp.float32(self.lambda_ssim)
                          if self.lambda_ssim > 0 else None),
         )
-        return loss, per_ray, n_occ
+        return loss, per_ray, n_occ, n_occ_raw, n_groups
 
     def train_one_epoch(self, loader):
         m = self.model
@@ -564,7 +651,8 @@ class Trainer:
                 m.update_extra_state()
                 self._last_extra = self.global_step
             gt_free = "images" not in data
-            loss, per_ray, n_occ = self.train_step_data(data)
+            (loss, per_ray, n_occ, n_occ_raw,
+             n_groups) = self.train_step_data(data)
             if loss is None:  # GT-free batch skipped (no --clip_text)
                 continue
             # error-map EMA update (host-side scatter; ref utils.py:549-556)
@@ -577,8 +665,9 @@ class Trainer:
                 self.error_map[idx] = em
             if (self.global_step % update_interval == update_interval - 1
                     and not gt_free):
-                self._adapt_budget(n_occ)
+                self._adapt_budget(n_occ_raw)
                 self._adapt_compaction(float(np.asarray(n_occ).mean()))
+                self._adapt_group_budget(float(np.asarray(n_groups).mean()))
             total_loss += float(loss)
             nsteps += 1
             self.global_step += 1
@@ -654,10 +743,11 @@ class Trainer:
         while self.global_step < max_steps:
             k = min(steps_per_dispatch, max_steps - self.global_step)
             (m.params, self.ema_params, self.opt_state, m.occ, losses,
-             mean_occ, em, occ_p95) = device_train_loop(
+             mean_occ, em, occ_p95, mean_groups,
+             mean_occ_raw) = device_train_loop(
                 m.params, self.ema_params, self.opt_state, m.occ, poses,
                 images, intr, m._next_key(), self.global_step, self.cfg_train,
-                m.rc,
+                self._rc_train(),
                 m.train_budget, self.optimizer.update, C == 4,
                 self.ema_decay, k, self.opt.num_rays, H, W,
                 update_interval=getattr(self.opt, "update_extra_interval", 16),
@@ -689,7 +779,8 @@ class Trainer:
             # MEAN — _adapt_budget targets 1.5x mean (mean_count parity);
             # feeding occ_p95 here parked the multiobj campaign at a 512
             # budget (mean 54) for ~2.5x step cost.
-            self._adapt_budget(float(mean_occ))
+            self._adapt_budget(float(mean_occ_raw))
+            self._adapt_group_budget(float(mean_groups))
             start = time.time()
             self.epoch += 1
             # checkpoint periodically, NOT per dispatch: a full save fetches

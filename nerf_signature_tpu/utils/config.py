@@ -134,6 +134,17 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "(measured 46%% of samples on the trained "
                              "headline scene). Ownership decodes and attack "
                              "sweeps always run with the cull off.")
+    parser.add_argument("--group_budget", type=int, default=-1,
+                        help="march coarse-group budget (prefilter path): "
+                             "max coarse-occupied groups kept per ray (4 "
+                             "fine candidates each). -1 = DEFAULT, "
+                             "auto-adapt to the power-of-two bucket >= 1.5x "
+                             "the measured mean occupied-group count (same "
+                             "rule and truncation class as the march "
+                             "budget); 0 = the static formula "
+                             "max(64, budget//2); >0 = fixed. Exactness-"
+                             "contract paths force prefilter off and are "
+                             "unaffected.")
     parser.add_argument("--devices", type=int, default=0,
                         help="shard rays over N devices (0 = all available)")
     parser.add_argument("--mesh_resolution", type=int, default=256)

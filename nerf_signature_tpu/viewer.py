@@ -129,7 +129,7 @@ class Viewer:
             except StopIteration:
                 it = iter(self.train_loader)
                 data = next(it)
-            step_loss, _, _ = self.trainer.train_step_data(data)
+            step_loss = self.trainer.train_step_data(data)[0]
             self.trainer.global_step += 1
             loss = float(step_loss)
         dt_ms = (time.perf_counter() - t0) * 1e3

@@ -145,3 +145,47 @@ def test_compact_descent_churn_is_bounded():
     # at least halve the one-recompile-per-bucket walk
     assert len([m for m in moves if "compact" in m]) <= 6
     t.log = real_log
+
+
+# ---- group-budget adaptation (round 5) -------------------------------------
+
+def _gtrainer_stub(budget, group_budget=0):
+    from nerf_signature_tpu.render.renderer import RenderConfig
+
+    t = Trainer.__new__(Trainer)
+    t.model = types.SimpleNamespace(
+        train_budget=budget,
+        rc=RenderConfig(bound=1.0, max_steps=1024, dt_gamma=0.0,
+                        group_budget=group_budget),
+    )
+    t.opt = types.SimpleNamespace(max_steps=1024, group_budget=-1)
+    t._group_hysteresis = 0
+    t.log = lambda *a, **k: None
+    return t
+
+
+def test_group_budget_lowers_from_formula_default_to_measured():
+    # budget 32 -> formula default 64 groups; measured mean 10 occupied
+    # groups -> target 16: settles there, not below
+    t = _gtrainer_stub(32)
+    for _ in range(8):
+        t._adapt_group_budget(10.0)
+    assert t.model.rc.group_budget == 16
+    for _ in range(4):
+        t._adapt_group_budget(10.0)
+    assert t.model.rc.group_budget == 16
+
+
+def test_group_budget_raises_on_occupancy_growth():
+    t = _gtrainer_stub(32, group_budget=16)
+    for _ in range(4):
+        t._adapt_group_budget(40.0)   # target 64
+    assert t.model.rc.group_budget == 64
+
+
+def test_group_budget_fixed_flag_disables_adaptation():
+    t = _gtrainer_stub(32, group_budget=8)
+    t.opt.group_budget = 8
+    for _ in range(4):
+        t._adapt_group_budget(100.0)
+    assert t.model.rc.group_budget == 8

@@ -45,7 +45,7 @@ def _gt_free_batch(n_rays=64):
 def test_gt_free_batch_skips_without_clip():
     tr = Trainer("t", _opt(), _tiny_model(), workspace=None,
                  use_checkpoint="scratch", mute=True)
-    loss, per_ray, n_occ = tr.train_step_data(_gt_free_batch())
+    loss, per_ray, n_occ = tr.train_step_data(_gt_free_batch())[:3]
     assert loss is None  # explicit skip, not a KeyError
 
 
@@ -85,10 +85,10 @@ def test_clip_branch_trains_with_local_weights():
         text_features=jnp.asarray(text),
     )
     before = np.asarray(tr.model.params["hash_table"]).copy()
-    loss, _, _ = tr.train_step_data(_gt_free_batch())
+    loss = tr.train_step_data(_gt_free_batch())[0]
     assert np.isfinite(float(loss))
     after = np.asarray(tr.model.params["hash_table"])
     assert not np.allclose(before, after)  # gradients reached the field
     # second call reuses the compiled step (same H/W/budget signature)
-    loss2, _, _ = tr.train_step_data(_gt_free_batch())
+    loss2 = tr.train_step_data(_gt_free_batch())[0]
     assert np.isfinite(float(loss2))

@@ -54,8 +54,13 @@ class TestDeviceLoop:
             jax.random.PRNGKey(1), 0, TINY, rc, 16, optimizer.update,
             False, 0.95, 32, 64, H, W, update_interval=8,
         )
-        params2, ema2, opt2, occ2, losses, mean_occ, _, occ_p95 = out
+        (params2, ema2, opt2, occ2, losses, mean_occ, _, occ_p95, mean_grp,
+         mean_raw) = out
         assert np.isfinite(float(occ_p95))
+        assert np.isfinite(float(mean_grp))
+        # no cull configured: the raw (provisioning) statistic equals the
+        # survivor statistic
+        np.testing.assert_allclose(float(mean_raw), float(mean_occ), rtol=1e-6)
         losses = np.asarray(losses)
         assert losses.shape == (32,)
         assert np.isfinite(losses).all()

@@ -243,3 +243,66 @@ def test_wm_rc_eval_pins_prefilter_off():
     assert rc.prefilter is None  # default stays auto for the train path
     rc_eval = _dc.replace(rc, compact_frac=0.0, prefilter=False)
     assert rc_eval.prefilter is False and rc_eval.compact_frac == 0.0
+
+
+# ---- group-budget adaptation plumbing (round 5) ---------------------------
+
+def test_n_groups_occ_statistic_is_never_capped_by_group_budget():
+    """The adaptation statistic must count ALL coarse-occupied groups, even
+    when group_budget truncates the selection to far fewer — a capped
+    statistic saturates and biases every downstream adaptation (the r5/038
+    sweep failure)."""
+    occ = _ball_occupancy(1, 32)
+    rng = np.random.default_rng(3)
+    o, d = _rand_rays(rng, 64, 1.0)
+    kw = dict(max_steps=256, budget=32, grid_size=32, prefilter=True)
+    full = _march(occ, o, d, 1.0, group_budget=4096, **kw)
+    tiny = _march(occ, o, d, 1.0, group_budget=2, **kw)
+    ng_full = np.asarray(full["n_groups_occ"])
+    ng_tiny = np.asarray(tiny["n_groups_occ"])
+    np.testing.assert_array_equal(ng_tiny, ng_full)
+    # the scene actually exceeds the tiny budget somewhere, so the equality
+    # above is not vacuous
+    assert ng_full.max() > 2
+    # and the tiny-budget march did truncate its SELECTION
+    assert np.asarray(tiny["mask"]).sum() < np.asarray(full["mask"]).sum()
+
+
+def test_render_config_group_budget_plumbs_to_march():
+    """rc.group_budget reaches the marcher: a generous value reproduces the
+    default-formula march exactly; a tiny one caps samples at
+    group_budget * group."""
+    import dataclasses
+
+    from nerf_signature_tpu.render.renderer import (
+        RenderConfig, render_rays_occ,
+    )
+
+    occ = _ball_occupancy(1, 32)
+    rng = np.random.default_rng(4)
+    o, d = _rand_rays(rng, 32, 1.0)
+    rc = RenderConfig(bound=1.0, grid_size=32, max_steps=256,
+                      prefilter=True)
+    field = lambda x, dd: (jnp.full(x.shape[:1], 1.0),
+                           jnp.full((x.shape[0], 3), 0.5))
+    out_def = render_rays_occ(field, occ, o, d, rc, budget=32)
+    out_big = render_rays_occ(
+        field, occ, o, d, dataclasses.replace(rc, group_budget=4096),
+        budget=32)
+    np.testing.assert_allclose(np.asarray(out_def["image"]),
+                               np.asarray(out_big["image"]), atol=0)
+    out_tiny = render_rays_occ(
+        field, occ, o, d, dataclasses.replace(rc, group_budget=2), budget=32)
+    assert np.asarray(out_tiny["n_occupied"]).max() <= 2 * 4
+
+
+def test_unfiltered_path_group_statistic_counts_fine_groups():
+    occ = _ball_occupancy(1, 32)
+    rng = np.random.default_rng(5)
+    o, d = _rand_rays(rng, 16, 1.0)
+    m = _march(occ, o, d, 1.0, max_steps=256, budget=32, grid_size=32,
+               prefilter=False)
+    ng = np.asarray(m["n_groups_occ"])
+    n = np.asarray(m["n_occupied"])
+    assert (ng >= np.ceil(np.minimum(n, 32) / 4) - 1).all()
+    assert np.isfinite(ng).all()

@@ -173,3 +173,49 @@ def test_low_optical_depth_scene_never_culls():
     b = _march(render_grid(g, 1e-6), o, d, 1.0, t_cull=1e-6, **kw)
     for k in ("mask", "ts", "deltas", "n_occupied"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+# ---- provisioning statistics + the fog gate (round 5) ----------------------
+# The r5/03 matched-step A/B measured t_cull 1e-6 from scratch at -1.6 dB:
+# the budget adaptation, fed the culled SURVIVOR count, lowered the march
+# budget a bucket below where the exact arm settles and truncated real tail
+# samples (train loss rose 0.0032 -> 0.0067 after the move).  Provisioning
+# must follow geometry (the RAW pre-cull count); the cull only creates
+# padding for compaction to squeeze.  The fog gate additionally keeps the
+# cull off while the grid's full-update phase lags the fast-falling field.
+
+
+def test_raw_count_is_precull_and_survivors_are_culled():
+    g = _ball_grid(density=300.0)
+    rng = np.random.default_rng(7)
+    o, d = _rand_rays(rng, 128, 1.0)
+    kw = dict(max_steps=256, budget=64)
+    exact = _march(render_grid(g, 1e-3), o, d, 1.0, t_cull=0.0, **kw)
+    cull = _march(render_grid(g, 1e-3), o, d, 1.0, t_cull=1e-3, **kw)
+    # raw provisioning statistic is cull-invariant
+    np.testing.assert_array_equal(np.asarray(cull["n_occupied_raw"]),
+                                  np.asarray(exact["n_occupied_raw"]))
+    np.testing.assert_array_equal(np.asarray(exact["n_occupied"]),
+                                  np.asarray(exact["n_occupied_raw"]))
+    # the cull actually bit somewhere, and survivors never exceed raw
+    surv = np.asarray(cull["n_occupied"])
+    raw = np.asarray(cull["n_occupied_raw"])
+    assert (surv <= raw).all() and (surv < raw).any()
+
+
+def test_trainer_fog_gate_disables_cull_until_grid_converges():
+    import types
+
+    from nerf_signature_tpu.train.trainer import Trainer
+
+    t = Trainer.__new__(Trainer)
+    rc = RenderConfig(bound=1.0, t_cull=1e-5)
+    t.model = types.SimpleNamespace(
+        rc=rc, occ=types.SimpleNamespace(iter_density=3))
+    assert t._rc_train().t_cull == 0.0
+    t.model.occ = types.SimpleNamespace(iter_density=16)
+    assert t._rc_train().t_cull == 1e-5
+    # no cull configured: rc passes through untouched (no replace cost)
+    t.model.rc = RenderConfig(bound=1.0, t_cull=0.0)
+    t.model.occ = types.SimpleNamespace(iter_density=0)
+    assert t._rc_train() is t.model.rc
