@@ -298,6 +298,7 @@ class _BaseModel:
             out = self._render_chunk(rays_o, rays_d, message, bg, perturb, budget)
             results = {k: out[k] for k in ("image", "depth", "weights_sum")}
             self._last_n_occupied = out.get("n_occupied")
+            self._last_n_groups_occ = out.get("n_groups_occ")
 
         results["image"] = results["image"].reshape(*prefix, 3)
         results["depth"] = results["depth"].reshape(*prefix)

@@ -823,6 +823,24 @@ class WatermarkTrainer:
             m.rc = dataclasses.replace(m.rc, compact_frac=target)
         self.log(f"[compact] wm auto sample compaction -> {target} "
                  f"(probe mean occupied {float(n_occ.mean()):.1f}/{S})")
+        # group budget: same one-shot resolution (frozen backbone -> frozen
+        # occupancy), same 1.5x-mean pow2 rule over the UNCAPPED
+        # occupied-group statistic as the clean trainer's
+        # _adapt_group_budget; the probe render's group count is
+        # budget-independent (geometry only).
+        if getattr(self.opt, "group_budget", 0) == -1:
+            n_grp = getattr(m, "_last_n_groups_occ", None)
+            if n_grp is not None:
+                from ..ops.marching import num_candidates
+
+                mean_g = float(np.asarray(n_grp).mean())
+                gb = 1 << max(4, int(np.ceil(np.log2(max(1.5 * mean_g,
+                                                         1.0)))))
+                gb = min(gb, max(num_candidates(
+                    m.rc.bound, m.rc.max_steps, m.rc.dt_gamma) // 4, 1))
+                m.rc = dataclasses.replace(m.rc, group_budget=gb)
+                self.log(f"[group] wm auto march group budget -> {gb} "
+                         f"(probe mean occupied groups {mean_g:.1f})")
 
     def _maybe_enter_polish(self, main_iters):
         """Switch to the content-polish lambda once the main schedule ends."""

@@ -49,14 +49,14 @@ def test_patch_loss_active_with_weights():
     tr = Trainer("t", _opt(32), _model(), workspace=None,
                  use_checkpoint="scratch", mute=True)
     tr._lpips_params = lpips_params_from_state_dict(_random_state_dict())
-    loss_lp, _, _ = tr.train_step_data(_patch_batch(32))
+    loss_lp = tr.train_step_data(_patch_batch(32))[0]
     assert np.isfinite(float(loss_lp))
 
     # same batch through a no-lpips trainer: loss must differ (extra term)
     tr2 = Trainer("t", _opt(32), _model(), workspace=None,
                   use_checkpoint="scratch", mute=True)
     assert tr2._lpips_params is None  # no weights in this image
-    loss_mse, _, _ = tr2.train_step_data(_patch_batch(32))
+    loss_mse = tr2.train_step_data(_patch_batch(32))[0]
     assert float(loss_lp) != float(loss_mse)
 
 
@@ -67,5 +67,5 @@ def test_small_patches_skip_lpips_cleanly():
     # even if weights had resolved, patch 16 would collapse the stack:
     # the constructor already nulled the params
     assert tr._lpips_params is None
-    loss, _, _ = tr.train_step_data(_patch_batch(16))
+    loss = tr.train_step_data(_patch_batch(16))[0]
     assert np.isfinite(float(loss))

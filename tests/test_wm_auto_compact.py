@@ -77,3 +77,25 @@ def test_probe_runs_end_to_end():
     tr = _tiny_trainer(compact_frac=-1)
     tr.resolve_auto_compaction(_Loader())
     assert tr.model.rc.compact_frac == 0.0 or (0.0625 <= tr.model.rc.compact_frac <= 1.0 and (tr.model.rc.compact_frac * 16) % 1 == 0)
+
+
+def test_group_budget_resolved_once_from_probe():
+    tr = _tiny_trainer(compact_frac=-1)
+    tr.opt.group_budget = -1
+
+    def fake_render(*a, **k):
+        tr.model._last_n_occupied = np.full((64,), 4.0, np.float32)
+        tr.model._last_n_groups_occ = np.full((64,), 9.0, np.float32)
+        return {}
+
+    tr.model.render = fake_render
+    tr.resolve_auto_compaction(_Loader())
+    # 1.5 * 9 = 13.5 -> pow2 16 (floor 16), capped by n_cand // 4
+    assert tr.model.rc.group_budget == 16
+
+
+def test_group_budget_untouched_without_auto_flag():
+    tr = _tiny_trainer(compact_frac=-1)
+    tr.opt.group_budget = 0
+    _probe_with(tr, mean_occ=4.0)
+    assert tr.model.rc.group_budget == 0
