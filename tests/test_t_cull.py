@@ -219,3 +219,20 @@ def test_trainer_fog_gate_disables_cull_until_grid_converges():
     t.model.rc = RenderConfig(bound=1.0, t_cull=0.0)
     t.model.occ = types.SimpleNamespace(iter_density=0)
     assert t._rc_train() is t.model.rc
+
+
+def test_cli_default_is_buffered_cull():
+    """Pin the product default: ``--t_cull 1e-5`` (the r5 quality-gate-2
+    decision — +0.01 dB matched-step vs exact where the zero-buffer 1e-4
+    loses 0.22 dB; PERF.md).  A silent default drift would invalidate every
+    BENCH_r0N-vs-default comparison, so the value is asserted, not assumed.
+    """
+    import argparse
+
+    from nerf_signature_tpu.utils.config import add_common_args
+
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    opt = parser.parse_args(["data"])
+    assert opt.t_cull == 1e-5
+    assert opt.group_budget == -1 and opt.compact_frac == -1
