@@ -13,4 +13,6 @@ BENCH_TRAIN_ONLY=1 BENCH_T_CULL=1e-4 timeout 1800 python bench.py
 echo "== adapted, t_cull 1e-5 =="
 BENCH_TRAIN_ONLY=1 BENCH_T_CULL=1e-5 timeout 1800 python bench.py
 echo "== historical fixed protocol (continuity check) =="
-BENCH_TRAIN_ONLY=1 BENCH_ADAPT=0 timeout 1800 python bench.py
+# BENCH_T_CULL=0 pinned for the record: the r01-r04 protocol is exact at
+# fixed 128/0.25 shapes (BENCH_ADAPT=0 already defaults the cull off)
+BENCH_TRAIN_ONLY=1 BENCH_ADAPT=0 BENCH_T_CULL=0 timeout 1800 python bench.py
