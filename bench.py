@@ -113,16 +113,12 @@ def main():
     # Train-step only (eval/decode paths pin t_cull=0), and fog-gated like
     # the product trainer: the warmup below runs EXACT and the cull turns on
     # only for the adapted/measured regime (trainer._rc_train).
-    # DEFAULT follows the product default (--t_cull 1e-5, the r5 quality-
-    # gate-2 decision) so the driver's plain `python bench.py` measures the
-    # framework as shipped; the historical BENCH_ADAPT=0 protocol stays
-    # exact (r01-r04 continuity — fixed 128/0.25 shapes, no cull) unless
-    # BENCH_T_CULL pins it.
-    _adapt_on = (os.environ.get("BENCH_ADAPT", "1") == "1"
-                 and "BENCH_BUDGET" not in os.environ
-                 and "BENCH_COMPACT" not in os.environ)
-    t_cull_req = float(os.environ.get("BENCH_T_CULL",
-                                      "1e-5" if _adapt_on else "0"))
+    # DEFAULT follows the product default (--t_cull 0 — the r5 post-mortem
+    # reverted the brief 1e-5 default after a 1200-it campaign regression;
+    # PERF.md) so the driver's plain `python bench.py` measures the
+    # framework as shipped.  BENCH_T_CULL=1e-5 measures the opt-in lever
+    # (41.0k rays/s on the r5 ladder, vs 23.9k exact-adapted).
+    t_cull_req = float(os.environ.get("BENCH_T_CULL", "0"))
     rc = RenderConfig(
         bound=1.0, grid_size=128, max_steps=1024,
         compact_frac=float(os.environ.get("BENCH_COMPACT", "0.25")),

@@ -36,6 +36,23 @@ class OccupancyGrid(NamedTuple):
     occupancy: jnp.ndarray   # [C, H, H, H] bool
     mean_density: jnp.ndarray  # scalar float32
     iter_density: jnp.ndarray  # scalar int32 (# updates so far)
+    # Most-recent requeried cell density (NO max-EMA), for the t_cull proxy
+    # ONLY — thresholding/occupancy stay on the reference's decayed-max
+    # ``density``.  Why a second array: the decayed-max is conservative in
+    # the KEEP direction for occupancy, but for transmittance culling it is
+    # conservative in the WRONG direction — a transient density spike (the
+    # forward ``trunc_exp`` is reference-parity UNclamped, so a sigma_raw
+    # excursion of 54 writes e^54) sticks in the max for ~log-magnitude/
+    # log(1/decay) updates and poisons the proxy T to ~0 behind that cell,
+    # culling real samples for hundreds of steps.  Measured: the r5 draw-C
+    # campaign (seed 33, t_cull 1e-5, 1200 it) hit grid max e^23 @step 800,
+    # e^54 @1200, mean_occ collapsed 30 -> 8/ray and eval lost ~8 dB, while
+    # params stayed finite and healthy (PERF.md r5 post-mortem).  The live
+    # value is at most one partial-update stale for occupied cells (the
+    # occupied-resample quarter requeries them), which the t_cull buffer
+    # decade absorbs.  Old checkpoints restore without this field (init
+    # zeros -> proxy culls nothing until the first update refreshes it).
+    density_live: jnp.ndarray = None  # [C, H**3] float32
 
 
 def num_cascades(bound):
@@ -48,20 +65,33 @@ def render_grid(grid: OccupancyGrid, t_cull=0.0):
 
     With ``t_cull == 0`` (default): the bool occupancy field, the exact
     reference-parity selection.  With ``t_cull > 0``: a float32 grid that is
-    0 on unoccupied cells and the maintained (density_scale'd, decayed-max)
-    cell density on occupied ones — ``march_rays`` derives the SAME
-    occupancy test from it (occupied cells have density > thresh >= 0, and
-    ``mark_untrained_grid`` zeros flow through the occupancy mask) and
-    additionally accumulates it into the proxy transmittance that drives
-    the t_cull sample drop.  Same gather index count either way.
+    0 on unoccupied cells and the LIVE (most-recent requeried,
+    density_scale'd) cell density on occupied ones — ``march_rays`` derives
+    the SAME occupancy test from it (occupied cells have density > thresh
+    >= 0, and ``mark_untrained_grid`` zeros flow through the occupancy
+    mask) and additionally accumulates it into the proxy transmittance that
+    drives the t_cull sample drop.  Same gather index count either way.
+
+    The proxy density is ``density_live``, NOT the decayed-max ``density``:
+    the max-EMA retains transient forward-``trunc_exp`` spikes (e^23..e^54
+    measured on the r5 draw-C run) for hundreds of updates and collapses
+    the proxy transmittance behind one stale cell — see the
+    ``OccupancyGrid.density_live`` note and the PERF.md r5 post-mortem.
+    Grids restored from pre-r5 checkpoints have ``density_live`` zeros
+    until their first maintenance update: the proxy then culls nothing
+    (conservative), never wrongly.  A grid constructed DIRECTLY without
+    ``density_live`` (hand-built fixtures) falls back to ``density`` — the
+    two are interchangeable when no max-EMA history exists.
     """
     if not t_cull > 0:
         return grid.occupancy
     C = grid.density.shape[0]
     H = grid.occupancy.shape[1]
+    src = (grid.density_live if grid.density_live is not None
+           else grid.density)
     return jnp.where(
         grid.occupancy,
-        jnp.maximum(grid.density.reshape(C, H, H, H), 0.0),
+        jnp.maximum(src.reshape(C, H, H, H), 0.0),
         0.0,
     ).astype(jnp.float32)
 
@@ -74,6 +104,7 @@ def init_occupancy_grid(bound, grid_size=128):
         occupancy=jnp.zeros((C, H, H, H), dtype=bool),
         mean_density=jnp.zeros((), jnp.float32),
         iter_density=jnp.zeros((), jnp.int32),
+        density_live=jnp.zeros((C, H**3), dtype=jnp.float32),
     )
 
 
@@ -164,6 +195,12 @@ def update_occupancy_grid(
     density = jnp.where(valid, jnp.maximum(grid.density * decay, tmp), grid.density)
     mean_density = jnp.mean(jnp.clip(density, 0.0, None))
 
+    # live value: requeried cells take the fresh query VERBATIM (no max —
+    # see the density_live field note); others keep their last reading
+    live_prev = (grid.density_live if grid.density_live is not None
+                 else jnp.zeros_like(grid.density))
+    density_live = jnp.where(valid, tmp, live_prev)
+
     thresh = jnp.minimum(mean_density, density_thresh)
     occupancy = (density > thresh).reshape(C, H, H, H)
     return OccupancyGrid(
@@ -171,6 +208,7 @@ def update_occupancy_grid(
         occupancy=occupancy,
         mean_density=mean_density,
         iter_density=grid.iter_density + 1,
+        density_live=density_live,
     )
 
 

@@ -123,24 +123,26 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "occupancy — measured 2.43x on the training "
                              "step at converged-scene fill, PERF.md)")
     parser.add_argument("--grid_size", type=int, default=128)
-    parser.add_argument("--t_cull", type=float, default=1e-5,
-                        help="transmittance cull threshold (0 = off): the "
-                             "march drops samples whose PROXY entering "
-                             "transmittance (accumulated from the occupancy "
-                             "grid's cell densities) falls below this — "
-                             "samples entering at true T < 1e-4 carry "
-                             "exactly zero weight AND zero gradient "
-                             "(measured 46%% of samples on the trained "
-                             "headline scene). DEFAULT 1e-5: the 10x buffer "
-                             "under the composite's T_thresh absorbs the "
-                             "proxy's between-update lag; matched-step eval "
-                             "PSNR +0.01 dB vs exact, where the zero-buffer "
-                             "1e-4 loses 0.22 dB (PERF.md r5 quality gate "
-                             "2). Train-step only (the fog gate marches "
-                             "exact until the grid's full-update phase "
-                             "ends); ownership decodes, eval/test renders "
-                             "and attack sweeps always run with the cull "
-                             "off.")
+    parser.add_argument("--t_cull", type=float, default=0.0,
+                        help="transmittance cull threshold (0 = off, the "
+                             "default): the march drops samples whose "
+                             "PROXY entering transmittance (accumulated "
+                             "from the grid's live cell densities) falls "
+                             "below this — samples entering at true T < "
+                             "1e-4 carry exactly zero weight AND zero "
+                             "gradient (measured 46%% of samples on the "
+                             "trained headline scene). 1e-5 measures 1.83x "
+                             "step throughput at +0.01 dB on the 600-it "
+                             "gate, but a 1200-it campaign regressed ~8 dB "
+                             "when the old decayed-max proxy latched a "
+                             "transient density spike (PERF.md r5 post-"
+                             "mortem) — the proxy now uses live requeried "
+                             "densities, and the default stays EXACT until "
+                             "a long-horizon gate revalidates it. Train-"
+                             "step only (fog gate until the grid's full-"
+                             "update phase ends); ownership decodes, "
+                             "eval/test renders and attack sweeps always "
+                             "run with the cull off.")
     parser.add_argument("--group_budget", type=int, default=-1,
                         help="march coarse-group budget (prefilter path): "
                              "max coarse-occupied groups kept per ray (4 "

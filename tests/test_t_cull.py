@@ -221,10 +221,13 @@ def test_trainer_fog_gate_disables_cull_until_grid_converges():
     assert t._rc_train() is t.model.rc
 
 
-def test_cli_default_is_buffered_cull():
-    """Pin the product default: ``--t_cull 1e-5`` (the r5 quality-gate-2
-    decision — +0.01 dB matched-step vs exact where the zero-buffer 1e-4
-    loses 0.22 dB; PERF.md).  A silent default drift would invalidate every
+def test_cli_default_is_exact():
+    """Pin the product default: ``--t_cull 0`` (EXACT).  The r5 1e-5
+    default lasted one campaign: the 600-it quality gate passed (+0.01 dB)
+    but the 1200-it draw-C run regressed ~8 dB when the decayed-max proxy
+    latched a transient trunc-exp density spike (PERF.md r5 post-mortem).
+    The cull stays opt-in until a long-horizon gate revalidates it on the
+    live-density proxy.  A silent default drift would invalidate every
     BENCH_r0N-vs-default comparison, so the value is asserted, not assumed.
     """
     import argparse
@@ -234,5 +237,59 @@ def test_cli_default_is_buffered_cull():
     parser = argparse.ArgumentParser()
     add_common_args(parser)
     opt = parser.parse_args(["data"])
-    assert opt.t_cull == 1e-5
+    assert opt.t_cull == 0.0
     assert opt.group_budget == -1 and opt.compact_frac == -1
+
+
+def test_stale_spike_in_decayed_max_does_not_poison_live_proxy():
+    """Regression for the r5 draw-C failure: a transient density spike
+    sticks in the decayed-max ``density`` (0.95-decay needs ~760 updates to
+    recover e^54 -> e^15) and, under the OLD proxy, collapsed the proxy
+    transmittance behind one stale cell — culling real samples for hundreds
+    of steps (mean_occ 30 -> 8/ray, eval -8 dB).  The proxy now reads
+    ``density_live`` (most-recent requery, no max): after one maintenance
+    update at the recovered field, the march must keep the samples behind
+    the spiked cell."""
+    import jax.numpy as jnp
+
+    from nerf_signature_tpu.ops.grid import (
+        init_occupancy_grid, update_occupancy_grid,
+    )
+
+    H, bound = 32, 1.0
+    # cell index layout is ((x*H)+y)*H+z; the slab below occupies x-cells
+    # ~6-9 at the centre row — spike the slab-ENTRY cell (first occupied
+    # cell the +x ray meets), the worst case for behind-the-spike culling
+    spike_cell = ((6 * H) + H // 2) * H + H // 2
+
+    # moderate true field: a thin occupied slab at x ~ -0.5 (cell H//4)
+    def density_fn(x):
+        return jnp.where(jnp.abs(x[:, 0] + 0.5) < 0.1, 2.0, 0.0)
+
+    g = init_occupancy_grid(bound, H)
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        g = update_occupancy_grid(
+            g, jax.random.fold_in(key, i), density_fn, bound=bound,
+            grid_size=H, density_thresh=0.01, full=True)
+    # inject the stale spike into the decayed-max only (the live array has
+    # the recovered value from the updates above)
+    g = g._replace(density=g.density.at[0, spike_cell].set(float(np.exp(54))))
+
+    o = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    out = _march(render_grid(g, 1e-5), o, d, bound, t_cull=1e-5,
+                 prefilter=False)
+    n_live = int(np.asarray(out["n_occupied"])[0])
+    n_raw = int(np.asarray(out["n_occupied_raw"])[0])
+    # the slab is ~0.2 world units thick; sigma*dt through it stays far
+    # above exp(-tau) = 1e-5 total, so NOTHING may be culled
+    assert n_raw > 0
+    assert n_live == n_raw, (n_live, n_raw)
+
+    # control: the OLD behavior (density_live == decayed-max with the
+    # spike) reproduces the failure — everything behind the spike culled
+    g_old = g._replace(density_live=g.density)
+    out_old = _march(render_grid(g_old, 1e-5), o, d, bound, t_cull=1e-5,
+                     prefilter=False)
+    assert int(np.asarray(out_old["n_occupied"])[0]) < n_raw
